@@ -1,0 +1,166 @@
+"""Numerical parity of the JAX model stack against an independent torch
+oracle, using the real shipped ultra_3g checkpoint weights on a synthetic KG.
+
+This is the ultra_tpu analog of the reference's golden-metric methodology
+(SURVEY.md §4): the fused kernel path must agree with an independently
+written batch-major implementation at float32 tolerance, per layer and
+end-to-end.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ultra_tpu.data.synthetic import synthetic_graph
+from ultra_tpu.models.layers import ConvConfig, conv_apply
+from ultra_tpu.models.nbfnet import (
+    NBFNetConfig,
+    UltraConfig,
+    entity_nbfnet_score_all,
+    rel_nbfnet_apply,
+    ultra_apply,
+)
+from ultra_tpu.utils.torch_ckpt import convert_ultra_checkpoint, to_jax
+
+CKPT = "/root/reference/ckpts/ultra_3g.pth"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(CKPT), reason="no reference ckpt")
+
+
+@pytest.fixture(scope="module")
+def params_np():
+    return convert_ultra_checkpoint(CKPT)
+
+
+@pytest.fixture(scope="module")
+def setup(params_np):
+    # exact matmuls for parity against torch-f32
+    jax.config.update("jax_default_matmul_precision", "highest")
+    graph, ei, et = synthetic_graph(num_nodes=50, num_direct_rel=8, num_triples=300, seed=3)
+    params = to_jax(params_np)
+    yield graph, ei, et, params
+    jax.config.update("jax_default_matmul_precision", "default")
+
+
+def _oracle_graphs(graph):
+    rg = graph.relation_graph
+    ent = (
+        np.asarray(graph.edge_index),
+        np.asarray(graph.edge_type),
+        np.asarray(graph.edge_weight),
+        graph.num_nodes,
+    )
+    rel = (
+        np.asarray(rg.edge_index),
+        np.asarray(rg.edge_type),
+        np.asarray(rg.edge_weight),
+        rg.num_nodes,
+    )
+    return ent, rel
+
+
+def test_rel_nbfnet_parity(setup, params_np):
+    from tests.oracle_torch import rel_nbfnet_oracle
+
+    graph, _, _, params = setup
+    query_rels = np.array([0, 3, 7, 12], dtype=np.int64)
+    _, rel_graph_o = _oracle_graphs(graph)
+
+    out_jax = rel_nbfnet_apply(
+        params["relation_model"],
+        NBFNetConfig(num_relation=4),
+        graph.relation_graph,
+        jnp.asarray(query_rels),
+    )  # (B, R, D)
+    out_torch = rel_nbfnet_oracle(params_np["relation_model"], rel_graph_o, query_rels)
+    np.testing.assert_allclose(
+        np.asarray(out_jax), out_torch.numpy(), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_ultra_end_to_end_parity(setup, params_np):
+    from tests.oracle_torch import ultra_oracle
+
+    graph, _, _, params = setup
+    h_index = np.array([1, 5, 9, 20], dtype=np.int64)
+    r_index = np.array([0, 3, 7, 12], dtype=np.int64)
+    ent_o, rel_o = _oracle_graphs(graph)
+
+    score_torch, rel_repr_torch, per_layer = ultra_oracle(
+        params_np, ent_o, rel_o, h_index, r_index
+    )
+
+    cfg = UltraConfig()
+    rel_repr = rel_nbfnet_apply(
+        params["relation_model"], cfg.relation_model, graph.relation_graph, jnp.asarray(r_index)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rel_repr), rel_repr_torch.numpy(), rtol=2e-4, atol=2e-5
+    )
+
+    score_jax = entity_nbfnet_score_all(
+        params["entity_model"],
+        cfg.entity_model,
+        graph,
+        rel_repr,
+        jnp.asarray(h_index),
+        jnp.asarray(r_index),
+    )  # (B, V)
+    np.testing.assert_allclose(
+        np.asarray(score_jax), score_torch.numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_ultra_apply_batch_gather(setup):
+    """ultra_apply with explicit t_index must equal gathering score_all."""
+    graph, _, _, params = setup
+    cfg = UltraConfig()
+    b, k = 3, 7
+    rng = np.random.default_rng(0)
+    h = rng.integers(0, graph.num_nodes, size=b)
+    r = rng.integers(0, graph.num_relations // 2, size=b)
+    t = rng.integers(0, graph.num_nodes, size=(b, k))
+    batch = np.stack(
+        [np.repeat(h[:, None], k, axis=1), t, np.repeat(r[:, None], k, axis=1)], axis=-1
+    )
+    scores = ultra_apply(params, cfg, graph, jnp.asarray(batch))
+    from ultra_tpu.models.nbfnet import ultra_score_all
+
+    all_scores = ultra_score_all(
+        params, cfg, graph, jnp.asarray(h), r_index=jnp.asarray(r)
+    )
+    expect = np.take_along_axis(np.asarray(all_scores), t, axis=1)
+    np.testing.assert_allclose(np.asarray(scores), expect, rtol=1e-5, atol=1e-6)
+
+
+def test_head_corruption_tail_conversion(setup):
+    """h-batch rows (varying heads) must be rewritten to inverse-relation tail
+    queries: score(h', t, r) == score_all under (t, r + R/2) gathered at h'."""
+    graph, _, _, params = setup
+    cfg = UltraConfig()
+    rng = np.random.default_rng(1)
+    b, k = 2, 5
+    t = rng.integers(0, graph.num_nodes, size=b)
+    r = rng.integers(0, graph.num_relations // 2, size=b)
+    h_cands = rng.integers(0, graph.num_nodes, size=(b, k))
+    batch = np.stack(
+        [h_cands, np.repeat(t[:, None], k, axis=1), np.repeat(r[:, None], k, axis=1)],
+        axis=-1,
+    )
+    scores = ultra_apply(params, cfg, graph, jnp.asarray(batch))
+
+    from ultra_tpu.models.nbfnet import ultra_score_all
+
+    inv_scores = ultra_score_all(
+        params,
+        cfg,
+        graph,
+        jnp.asarray(t),
+        r_index=jnp.asarray(r + graph.num_relations // 2),
+        query_r_index=jnp.asarray(r),
+    )
+    expect = np.take_along_axis(np.asarray(inv_scores), h_cands, axis=1)
+    np.testing.assert_allclose(np.asarray(scores), expect, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,1 @@
+from ultra_tpu.ops.rspmm import generalized_rspmm, rspmm_from_graph, degree

@@ -1,0 +1,112 @@
+"""Sharded training step: data parallelism over queries x edge partitioning
+of the graph, via shard_map over a (data, edge) mesh.
+
+This replaces the reference's DDP wrapper (run.py:44-46) and goes beyond it:
+the reference keeps a full graph replica per GPU (SURVEY.md §2.8); here the
+edge arrays can be row-sharded across the 'edge' axis, with one XLA
+collective per conv layer combining partial node aggregates over ICI.
+
+Gradient correctness: the *loss* (not the step) is wrapped in shard_map —
+inside, each shard computes its local-batch loss over its local edge shard,
+the per-layer ``psum``/``pmax`` over 'edge' builds replicated activations,
+and a final ``pmean`` over 'data' produces the replicated global loss.
+``jax.value_and_grad`` is applied OUTSIDE the shard_map: JAX differentiates
+through the collectives (psum/pmean transpose correctly), so parameter
+gradients come out globally correct and replicated with no manual gradient
+bookkeeping.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ultra_tpu.graph import Graph
+from ultra_tpu.models.nbfnet import UltraConfig, ultra_apply, ultra_score_all
+from ultra_tpu.parallel.mesh import graph_pspec
+from ultra_tpu.train.loop import TrainState, self_adversarial_bce
+
+
+def _sharded_cfg(cfg: UltraConfig, edge_axis: Optional[str]) -> UltraConfig:
+    """Entity-graph convs combine over the edge axis; the relation graph is
+    replicated so its convs do not."""
+    return cfg.replace(entity_model=cfg.entity_model.replace(edge_axis=edge_axis))
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    cfg: UltraConfig,
+    optimizer: optax.GradientTransformation,
+    graph: Graph,
+    adversarial_temperature: float = 1.0,
+    num_negative: int = 256,
+    edge_axis: Optional[str] = "edge",
+    data_axis: str = "data",
+):
+    """Returns jitted (state, graph, batch, edge_weight) -> (state, loss).
+
+    batch: (B, 1+K, 3) global; B must divide the data-axis size.
+    edge_weight: (E_pad,) easy-edge mask (tasks.easy_edge_weights).
+    """
+    inner_cfg = _sharded_cfg(cfg, edge_axis)
+    gspec = graph_pspec(graph, edge_axis)
+
+    def local_loss(params, graph_shard: Graph, batch, edge_weight):
+        graph_shard = graph_shard.replace(edge_weight=edge_weight)
+        pred = ultra_apply(params, inner_cfg, graph_shard, batch)
+        loss = self_adversarial_bce(pred, adversarial_temperature, num_negative)
+        return jax.lax.pmean(loss, data_axis)  # replicated global loss
+
+    sharded_loss = shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(P(), gspec, P(data_axis), P(edge_axis)),
+        out_specs=P(),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def train_step(state: TrainState, graph: Graph, batch, edge_weight):
+        loss, grads = jax.value_and_grad(sharded_loss)(
+            state.params, graph, batch, edge_weight
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_sharded_score_step(
+    mesh: Mesh,
+    cfg: UltraConfig,
+    graph: Graph,
+    edge_axis: Optional[str] = "edge",
+    data_axis: str = "data",
+):
+    """Jitted sharded eval scorer: (params, graph, batch(B,3)) -> (B,V) x2."""
+    inner_cfg = _sharded_cfg(cfg, edge_axis)
+    gspec = graph_pspec(graph, edge_axis)
+
+    def score(params, graph_shard: Graph, batch):
+        h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
+        num_direct = graph_shard.num_relations // 2
+        t_pred = ultra_score_all(params, inner_cfg, graph_shard, h, r_index=r)
+        h_pred = ultra_score_all(
+            params, inner_cfg, graph_shard, t, r_index=r + num_direct, query_r_index=r
+        )
+        return t_pred, h_pred
+
+    sharded = shard_map(
+        score,
+        mesh=mesh,
+        in_specs=(P(), gspec, P(data_axis)),
+        out_specs=(P(data_axis), P(data_axis)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

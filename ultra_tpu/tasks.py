@@ -1,0 +1,298 @@
+"""Graph-level task utilities: edge matching, negative sampling, ranking and
+relation-graph construction.
+
+TPU-first split of responsibilities (vs /root/reference/ultra/tasks.py):
+
+- **Host side (numpy, int64):** edge hashing/matching, strict negative masks,
+  negative sampling, easy-edge weight masks, relation-graph construction.
+  These are data-pipeline work — int64 radix hashing is unavailable in-graph
+  without global x64, and none of it is worth a device round-trip. Per-graph
+  hash tables are precomputed once (:class:`EdgeMatcher`), so per-batch work
+  is a couple of searchsorteds over the batch, overlapping with device
+  compute like any input pipeline.
+- **Device side (jnp, in-jit):** `all_negative` expansion, `compute_ranking`,
+  metric reductions — everything that consumes model scores.
+
+Semantics all match the reference exactly (citations inline).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultra_tpu.graph import Graph, make_graph
+
+
+# ---------------------------------------------------------------------------
+# Host-side edge matching (tasks.py:7-39)
+# ---------------------------------------------------------------------------
+
+
+class EdgeMatcher:
+    """Radix-hash lookup over a set of edges, precomputed once per graph.
+
+    Hashes k-column int tuples into int64 (overflow-checked like
+    ``tasks.py:19``), sorts once; queries are vectorized searchsorted.
+    """
+
+    def __init__(self, columns: np.ndarray):
+        # columns: (k, E) int64
+        cols = np.asarray(columns, dtype=np.int64)
+        base = cols.max(axis=1) + 1
+        assert int(np.prod(base.astype(object))) < np.iinfo(np.int64).max
+        scale = np.cumprod(base)
+        self.scale = (scale[-1] // scale).astype(np.int64)
+        edge_hash = (cols * self.scale[:, None]).sum(axis=0)
+        self.order = np.argsort(edge_hash, kind="stable")
+        self.sorted_hash = edge_hash[self.order]
+        self.base = base
+
+    def query(self, query_cols: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (edge_ids, num_match) like reference edge_match: edge ids
+        (into the original edge order) of every edge matching each query
+        tuple, concatenated, plus per-query match counts."""
+        q = np.asarray(query_cols, dtype=np.int64)
+        query_hash = (q * self.scale[:, None]).sum(axis=0)
+        start = np.searchsorted(self.sorted_hash, query_hash, side="left")
+        end = np.searchsorted(self.sorted_hash, query_hash, side="right")
+        num_match = end - start
+        offset = np.cumsum(num_match) - num_match
+        rng = np.arange(num_match.sum(), dtype=np.int64)
+        rng = rng + np.repeat(start - offset, num_match)
+        return self.order[rng], num_match
+
+
+class GraphIndex(NamedTuple):
+    """Host-side (numpy) companion of a Graph: raw edges + match tables."""
+
+    edge_index: np.ndarray  # (2, E) live edges only (no padding)
+    edge_type: np.ndarray  # (E,)
+    num_nodes: int
+    num_relations: int
+    hr_matcher: EdgeMatcher  # keyed (head, type)  — true-tail lookups
+    tr_matcher: EdgeMatcher  # keyed (tail, type)  — true-head lookups
+    htr_matcher: EdgeMatcher  # keyed (head, tail, type) — easy-edge removal
+    ht_matcher: EdgeMatcher  # keyed (head, tail) — remove_one_hop variant
+
+    @classmethod
+    def build(cls, edge_index, edge_type, num_nodes, num_relations) -> "GraphIndex":
+        ei = np.asarray(edge_index, dtype=np.int64)
+        et = np.asarray(edge_type, dtype=np.int64)
+        return cls(
+            edge_index=ei,
+            edge_type=et,
+            num_nodes=int(num_nodes),
+            num_relations=int(num_relations),
+            hr_matcher=EdgeMatcher(np.stack([ei[0], et])),
+            tr_matcher=EdgeMatcher(np.stack([ei[1], et])),
+            htr_matcher=EdgeMatcher(np.vstack([ei, et[None]])),
+            ht_matcher=EdgeMatcher(ei),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Strict negative masks & sampling (tasks.py:42-130) — host side
+# ---------------------------------------------------------------------------
+
+
+def strict_negative_mask(index: GraphIndex, batch: np.ndarray):
+    """(t_mask, h_mask): (B, V) bool; zeros on all true tails of (h, r) /
+    true heads of (t, r) and on the positive itself (tasks.py:94-130)."""
+    batch = np.asarray(batch)
+    h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
+    bsz = len(batch)
+
+    edge_id, num_t = index.hr_matcher.query(np.stack([h, r]))
+    t_truth = index.edge_index[1, edge_id]
+    sample_id = np.repeat(np.arange(bsz), num_t)
+    t_mask = np.ones((bsz, index.num_nodes), dtype=bool)
+    t_mask[sample_id, t_truth] = False
+    t_mask[np.arange(bsz), t] = False
+
+    edge_id, num_h = index.tr_matcher.query(np.stack([t, r]))
+    h_truth = index.edge_index[0, edge_id]
+    sample_id = np.repeat(np.arange(bsz), num_h)
+    h_mask = np.ones((bsz, index.num_nodes), dtype=bool)
+    h_mask[sample_id, h_truth] = False
+    h_mask[np.arange(bsz), h] = False
+
+    return t_mask, h_mask
+
+
+def negative_sampling(
+    index: GraphIndex,
+    batch: np.ndarray,
+    num_negative: int,
+    strict: bool = True,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """(B, 1+num_negative, 3): first half of the batch gets corrupted tails,
+    second half corrupted heads; slot 0 is the positive (tasks.py:42-76)."""
+    rng = rng or np.random.default_rng()
+    batch = np.asarray(batch)
+    bsz = len(batch)
+    h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
+
+    if strict:
+        t_mask, h_mask = strict_negative_mask(index, batch)
+        t_mask = t_mask[: bsz // 2]
+        neg_t_candidate = np.nonzero(t_mask)[1]
+        num_t_candidate = t_mask.sum(axis=-1)
+        rand = rng.random((len(t_mask), num_negative))
+        idx = (rand * num_t_candidate[:, None]).astype(np.int64)
+        idx = idx + (np.cumsum(num_t_candidate) - num_t_candidate)[:, None]
+        neg_t_index = neg_t_candidate[idx]
+
+        h_mask = h_mask[bsz // 2 :]
+        neg_h_candidate = np.nonzero(h_mask)[1]
+        num_h_candidate = h_mask.sum(axis=-1)
+        rand = rng.random((len(h_mask), num_negative))
+        idx = (rand * num_h_candidate[:, None]).astype(np.int64)
+        idx = idx + (np.cumsum(num_h_candidate) - num_h_candidate)[:, None]
+        neg_h_index = neg_h_candidate[idx]
+    else:
+        neg = rng.integers(0, index.num_nodes, size=(bsz, num_negative))
+        neg_t_index, neg_h_index = neg[: bsz // 2], neg[bsz // 2 :]
+
+    h_index = np.repeat(h[:, None], num_negative + 1, axis=1)
+    t_index = np.repeat(t[:, None], num_negative + 1, axis=1)
+    r_index = np.repeat(r[:, None], num_negative + 1, axis=1)
+    t_index[: bsz // 2, 1:] = neg_t_index
+    h_index[bsz // 2 :, 1:] = neg_h_index
+    return np.stack([h_index, t_index, r_index], axis=-1)
+
+
+def easy_edge_weights(
+    index: GraphIndex,
+    batch: np.ndarray,
+    num_edges_padded: int,
+    remove_one_hop: bool = False,
+) -> np.ndarray:
+    """Edge-weight vector zeroing the batch's (h,r,t) and inverse edges —
+    the static-shape equivalent of ``remove_easy_edges``
+    (base_nbfnet.py:54-77). Returns (E_pad,) float32 of 1s/0s."""
+    batch = np.asarray(batch)
+    if batch.ndim == 3:
+        h, t, r = batch[:, 0, 0], batch[:, 0, 1], batch[:, 0, 2]
+    else:
+        h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
+    h_ext = np.concatenate([h, t])
+    t_ext = np.concatenate([t, h])
+    r_ext = np.concatenate([r, r + index.num_relations // 2])
+    if remove_one_hop:
+        edge_id, _ = index.ht_matcher.query(np.stack([h_ext, t_ext]))
+    else:
+        edge_id, _ = index.htr_matcher.query(np.stack([h_ext, t_ext, r_ext]))
+    w = np.ones(num_edges_padded, dtype=np.float32)
+    w[index.edge_index.shape[1] :] = 0.0  # padding stays dead
+    w[edge_id] = 0.0
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Device-side eval ops (tasks.py:79-141)
+# ---------------------------------------------------------------------------
+
+
+def all_negative(num_nodes: int, batch: jax.Array):
+    """(t_batch, h_batch) of shape (B, V, 3) for exhaustive scoring
+    (tasks.py:79-91)."""
+    h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
+    all_idx = jnp.arange(num_nodes, dtype=batch.dtype)
+    b = batch.shape[0]
+    r_exp = jnp.broadcast_to(r[:, None], (b, num_nodes))
+    h_exp = jnp.broadcast_to(h[:, None], (b, num_nodes))
+    t_exp = jnp.broadcast_to(t[:, None], (b, num_nodes))
+    all_exp = jnp.broadcast_to(all_idx[None], (b, num_nodes))
+    t_batch = jnp.stack([h_exp, all_exp, r_exp], axis=-1)
+    h_batch = jnp.stack([all_exp, t_exp, r_exp], axis=-1)
+    return t_batch, h_batch
+
+
+def compute_ranking(pred: jax.Array, target: jax.Array, mask=None) -> jax.Array:
+    """rank = 1 + #{negatives with score >= positive}; ties count against
+    (pos_pred <= pred, tasks.py:133-141)."""
+    pos_pred = jnp.take_along_axis(pred, target[..., None], axis=-1)
+    geq = pos_pred <= pred
+    if mask is not None:
+        geq = geq & mask
+    return jnp.sum(geq, axis=-1) + 1
+
+
+# ---------------------------------------------------------------------------
+# Relation-graph construction (tasks.py:144-199) — host side
+# ---------------------------------------------------------------------------
+
+
+def build_relation_graph_arrays(edge_index, edge_type, num_nodes, num_relations):
+    """Edges of the graph-of-relations: 4 meta-relation types
+    h2h=0, t2t=1, h2t=2, t2h=3 (tasks.py:186-189).
+
+    The reference computes degree-normalized sparse products A_xy = E_x^T E_y
+    and keeps only the nonzero *pattern* (values are discarded,
+    tasks.py:181-193) — so this reduces to a per-node join of the distinct
+    (node, relation) incidence pairs, done here with numpy group-bys.
+    Returns (edge_index (2, M), edge_type (M,)) with relation ids as nodes.
+    """
+    ei = np.asarray(edge_index, dtype=np.int64)
+    et = np.asarray(edge_type, dtype=np.int64)
+
+    def incidence(nodes):
+        # distinct (node, rel) pairs, like vstack().unique(dim=0)
+        key = nodes * num_relations + et
+        uniq = np.unique(key)
+        return uniq // num_relations, uniq % num_relations
+
+    h_node, h_rel = incidence(ei[0])
+    t_node, t_rel = incidence(ei[1])
+
+    def join(a_node, a_rel, b_node, b_rel):
+        """Nonzero pattern of E_a^T E_b: pairs (ra, rb) sharing a node.
+
+        Fully vectorized ragged cross-product: for every a-entry, emit its
+        node's whole b-group via the arange-minus-offsets trick.
+        """
+        ib = np.searchsorted(b_node, np.arange(num_nodes), side="left")
+        cb_per_node = np.searchsorted(b_node, np.arange(num_nodes), side="right") - ib
+        counts = cb_per_node[a_node]  # b-group size per a-entry
+        total = int(counts.sum())
+        starts = ib[a_node]
+        offsets = np.cumsum(counts) - counts
+        r = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts) + np.repeat(
+            starts, counts
+        )
+        left = np.repeat(a_rel, counts)
+        right = b_rel[r]
+        uniq = np.unique(left * num_relations + right)
+        return np.stack([uniq // num_relations, uniq % num_relations])
+
+    hh = join(h_node, h_rel, h_node, h_rel)
+    tt = join(t_node, t_rel, t_node, t_rel)
+    ht = join(h_node, h_rel, t_node, t_rel)
+    th = join(t_node, t_rel, h_node, h_rel)
+
+    rel_edge_index = np.concatenate([hh, tt, ht, th], axis=1)
+    rel_edge_type = np.concatenate(
+        [
+            np.full(hh.shape[1], 0),
+            np.full(tt.shape[1], 1),
+            np.full(ht.shape[1], 2),
+            np.full(th.shape[1], 3),
+        ]
+    )
+    return rel_edge_index.astype(np.int64), rel_edge_type.astype(np.int64)
+
+
+def build_relation_graph(
+    edge_index, edge_type, num_nodes, num_relations, pad_to: Optional[int] = None
+) -> Graph:
+    """Relation Graph (num_nodes=num_relations, num_relations=4) as a padded
+    device Graph."""
+    rei, ret = build_relation_graph_arrays(edge_index, edge_type, num_nodes, num_relations)
+    return make_graph(
+        rei, ret, num_nodes=num_relations, num_relations=4, pad_to=pad_to
+    )

@@ -1,0 +1,128 @@
+"""Link-prediction evaluation: exhaustive all-node scoring, filtered ranking
+and metrics — the TPU rewrite of /root/reference/script/run.py:121-226.
+
+Device work (jitted, fixed shapes): score all tails for the t-direction and
+the inverse-relation h-direction, compute filtered ranks against host-built
+strict-negative masks. Host work: masks (int64 hashing), metric aggregation.
+
+Under a device mesh, batches shard over the 'data' axis and rank vectors
+gather with process-level allgather — see ultra_tpu/parallel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultra_tpu.graph import Graph
+from ultra_tpu.models.nbfnet import UltraConfig, ultra_score_all
+from ultra_tpu import tasks
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def score_and_rank_batch(params, cfg: UltraConfig, graph: Graph, batch, t_mask, h_mask):
+    """batch (B, 3) positives; masks (B, V) bool. Returns (t_rank, h_rank)."""
+    h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
+    num_direct = graph.num_relations // 2
+    t_pred = ultra_score_all(params, cfg, graph, h, r_index=r)
+    h_pred = ultra_score_all(
+        params, cfg, graph, t, r_index=r + num_direct, query_r_index=r
+    )
+    t_rank = tasks.compute_ranking(t_pred, t, t_mask)
+    h_rank = tasks.compute_ranking(h_pred, h, h_mask)
+    return t_rank, h_rank
+
+
+def evaluate(
+    params,
+    cfg: UltraConfig,
+    graph: Graph,
+    test_triples: np.ndarray,  # (N, 3) target edges (no inverses)
+    filtered_index: tasks.GraphIndex,  # filtering graph (run.py:263-291)
+    batch_size: int = 8,
+    metrics: Iterable[str] = ("mr", "mrr", "hits@1", "hits@3", "hits@10"),
+    limit: Optional[int] = None,  # fast_test subsampling (pretrain.py:244-254)
+    rng: Optional[np.random.Generator] = None,
+) -> Dict[str, float]:
+    """Full filtered evaluation; both prediction directions per triple
+    (run.py:134-153). Tail-only variants via 'metric-tail' names."""
+    trips = np.asarray(test_triples)
+    if limit is not None and limit < len(trips):
+        rng = rng or np.random.default_rng(0)
+        trips = trips[rng.choice(len(trips), size=limit, replace=False)]
+
+    n = len(trips)
+    pad_n = -(-n // batch_size) * batch_size
+    rankings, num_negatives = [], []
+    tail_rankings, num_tail_negs = [], []
+    for start in range(0, n, batch_size):
+        batch = trips[start : start + batch_size]
+        valid = len(batch)
+        if valid < batch_size:  # pad last batch, drop padded results
+            batch = np.concatenate([batch, np.repeat(batch[-1:], batch_size - valid, axis=0)])
+        t_mask, h_mask = tasks.strict_negative_mask(filtered_index, batch)
+        t_rank, h_rank = score_and_rank_batch(
+            params, cfg, graph, jnp.asarray(batch), jnp.asarray(t_mask), jnp.asarray(h_mask)
+        )
+        t_rank = np.asarray(t_rank)[:valid]
+        h_rank = np.asarray(h_rank)[:valid]
+        num_t_neg = t_mask.sum(axis=-1)[:valid]
+        num_h_neg = h_mask.sum(axis=-1)[:valid]
+        rankings += [t_rank, h_rank]
+        num_negatives += [num_t_neg, num_h_neg]
+        tail_rankings.append(t_rank)
+        num_tail_negs.append(num_t_neg)
+
+    all_ranking = np.concatenate(rankings)
+    all_num_negative = np.concatenate(num_negatives)
+    all_ranking_t = np.concatenate(tail_rankings)
+    all_num_negative_t = np.concatenate(num_tail_negs)
+
+    return compute_metrics(
+        metrics, all_ranking, all_num_negative, all_ranking_t, all_num_negative_t
+    )
+
+
+def compute_metrics(metrics, ranking, num_negative, ranking_t=None, num_negative_t=None):
+    """mr / mrr / hits@k / unbiased hits@k_sample / *-tail (run.py:188-226)."""
+    out = {}
+    for metric in metrics:
+        if metric.endswith("-tail"):
+            name = metric[: -len("-tail")]
+            _rank, _neg = ranking_t, num_negative_t
+        else:
+            name, _rank, _neg = metric, ranking, num_negative
+        _rank = _rank.astype(np.float64)
+        if name == "mr":
+            score = _rank.mean()
+        elif name == "mrr":
+            score = (1.0 / _rank).mean()
+        elif name.startswith("hits@"):
+            values = name[5:].split("_")
+            threshold = int(values[0])
+            if len(values) > 1:
+                num_sample = int(values[1])
+                # unbiased estimation: P(<=i false positives among num_sample-1)
+                fp_rate = (_rank - 1) / _neg
+                score = 0.0
+                for i in range(threshold):
+                    num_comb = (
+                        math.factorial(num_sample - 1)
+                        / math.factorial(i)
+                        / math.factorial(num_sample - i - 1)
+                    )
+                    score = score + num_comb * (fp_rate**i) * (1 - fp_rate) ** (
+                        num_sample - i - 1
+                    )
+                score = float(np.mean(score))
+            else:
+                score = float((_rank <= threshold).mean())
+        else:
+            raise ValueError(f"unknown metric {name!r}")
+        out[metric] = float(score)
+    return out
