@@ -1,0 +1,97 @@
+"""SPMD correctness on the virtual 8-device CPU mesh: the sharded (data x
+edge) train/eval steps must agree numerically with the single-device path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ultra_tpu.data.synthetic import synthetic_graph
+from ultra_tpu.models.nbfnet import NBFNetConfig, UltraConfig, ultra_apply, ultra_score_all
+from ultra_tpu import tasks
+from ultra_tpu.parallel.dp import make_sharded_score_step, make_sharded_train_step
+from ultra_tpu.parallel.mesh import make_mesh
+from ultra_tpu.train.loop import (
+    init_train_state,
+    init_ultra_params,
+    make_optimizer,
+    make_train_step,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def small_cfg():
+    dims = (32, 32)
+    return UltraConfig(
+        relation_model=NBFNetConfig(input_dim=32, hidden_dims=dims, num_relation=4),
+        entity_model=NBFNetConfig(
+            input_dim=32, hidden_dims=dims, num_relation=1, project_relations=True
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # pad edges so they divide the edge axis (2 and 4)
+    graph, ei, et = synthetic_graph(
+        num_nodes=24, num_direct_rel=4, num_triples=100, seed=5, pad_edges_to=208
+    )
+    index = tasks.GraphIndex.build(ei, et, graph.num_nodes, graph.num_relations)
+    cfg = small_cfg()
+    params = init_ultra_params(cfg, jax.random.key(1))
+    return graph, ei, et, index, cfg, params
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_score_matches_single_device(setup, mesh_shape):
+    graph, ei, et, index, cfg, params = setup
+    data, edge = mesh_shape
+    mesh = make_mesh(data=data, edge=edge)
+
+    rng = np.random.default_rng(0)
+    b = 8
+    h = rng.integers(0, graph.num_nodes, size=b)
+    t = rng.integers(0, graph.num_nodes, size=b)
+    r = rng.integers(0, graph.num_relations // 2, size=b)
+    batch = jnp.asarray(np.stack([h, t, r], axis=1))
+
+    score_step = make_sharded_score_step(mesh, cfg, graph)
+    t_pred, h_pred = score_step(params, graph, batch)
+
+    t_ref = ultra_score_all(params, cfg, graph, batch[:, 0], r_index=batch[:, 2])
+    h_ref = ultra_score_all(
+        params, cfg, graph, batch[:, 1],
+        r_index=batch[:, 2] + graph.num_relations // 2, query_r_index=batch[:, 2],
+    )
+    np.testing.assert_allclose(np.asarray(t_pred), np.asarray(t_ref), rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h_pred), np.asarray(h_ref), rtol=2e-4, atol=1e-4)
+
+
+def test_sharded_train_step_matches_single_device(setup):
+    graph, ei, et, index, cfg, params = setup
+    mesh = make_mesh(data=4, edge=2)
+    opt = make_optimizer(lr=1e-3)
+
+    rng = np.random.default_rng(3)
+    n_direct = ei.shape[1] // 2
+    triples = np.stack([ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]], axis=1)
+    batch_triples = triples[rng.choice(len(triples), size=8, replace=False)]
+    batch = tasks.negative_sampling(index, batch_triples, num_negative=4, rng=rng)
+    ew = tasks.easy_edge_weights(index, batch, graph.num_edges_padded)
+
+    sharded_step = make_sharded_train_step(mesh, cfg, opt, graph, num_negative=4)
+    state_s = init_train_state(params, opt)
+    state_s, loss_s = sharded_step(state_s, graph, jnp.asarray(batch), jnp.asarray(ew))
+
+    single_step = make_train_step(cfg, opt, num_negative=4)
+    state_1 = init_train_state(params, opt)
+    state_1, loss_1 = single_step(state_1, graph, jnp.asarray(batch), jnp.asarray(ew))
+
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-4)
+    flat_s = jax.tree.leaves(state_s.params)
+    flat_1 = jax.tree.leaves(state_1.params)
+    for a, b in zip(flat_s, flat_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5)
