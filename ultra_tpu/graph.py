@@ -55,6 +55,9 @@ class Graph:
     # Relation graph (nodes = relation types, 4 meta-relations), built by
     # ultra_tpu.tasks.build_relation_graph. None for the relation graph itself.
     relation_graph: Optional["Graph"] = None
+    # Optional ops.rspmm_pallas.GraphPlans — host-precomputed edge bucketing
+    # enabling the Pallas rspmm kernel (attach via rspmm_pallas.attach_plans).
+    plans: Optional[object] = None
 
     @property
     def num_edges_padded(self) -> int:

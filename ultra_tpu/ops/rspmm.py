@@ -302,7 +302,18 @@ def generalized_rspmm(
 
 
 def rspmm_from_graph(graph, relation, x, *, sum="add", mul="mul", backend="auto"):
-    """Convenience wrapper taking an ultra_tpu.graph.Graph."""
+    """Convenience wrapper taking an ultra_tpu.graph.Graph.
+
+    When the graph carries precomputed Pallas plans and the aggregator is
+    sum, the Pallas kernel (with its own custom VJP) is used — the only
+    viable TPU path, since XLA scatter does not scale there.
+    """
+    if graph.plans is not None and sum == "add" and backend in ("auto", "pallas"):
+        from ultra_tpu.ops.rspmm_pallas import rspmm_pallas_sum
+
+        return rspmm_pallas_sum(
+            mul, graph.num_nodes, graph.plans, relation, x, graph.edge_weight
+        )
     return generalized_rspmm(
         graph.edge_index,
         graph.edge_type,

@@ -55,7 +55,9 @@ def graph_pspec(graph: Graph, edge_axis: Optional[str] = "edge"):
 
     def spec(path, leaf):
         names = [p.name for p in path if hasattr(p, "name")]
-        if "relation_graph" in names or edge_axis is None:
+        # relation graph is replicated; pallas plans are single-device
+        # bucketing tables (sharded-pallas support comes with its own plans)
+        if "relation_graph" in names or "plans" in names or edge_axis is None:
             return P()
         if "edge_index" in names:
             return P(None, edge_axis)
