@@ -1,0 +1,84 @@
+"""End-to-end runner test: config -> toy dataset -> train 1 epoch -> eval,
+entirely offline, exercising the same path as scripts/run.py."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ultra_tpu.data import kg
+from ultra_tpu.train import runner
+
+
+def write(path, lines):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture
+def toy_registered(tmp_path):
+    rng = np.random.default_rng(0)
+    nodes = [f"n{i}" for i in range(20)]
+    rels = ["r0", "r1", "r2"]
+    lines = set()
+    while len(lines) < 80:
+        h, t = rng.choice(20, 2, replace=False)
+        r = rng.integers(0, 3)
+        lines.add(f"n{h} r{r} n{t}")
+    lines = sorted(lines)
+    raw = os.path.join(str(tmp_path), "toyrun", "raw")
+    write(os.path.join(raw, "train.txt"), lines[:60])
+    write(os.path.join(raw, "valid.txt"), lines[60:70])
+    write(os.path.join(raw, "test.txt"), lines[70:])
+
+    class ToyRun(kg.TransductiveDataset):
+        name = "toyrun"
+        urls = ()
+
+    kg.DATASETS["ToyRun"] = ToyRun
+    yield str(tmp_path)
+    kg.DATASETS.pop("ToyRun", None)
+
+
+def small_model_cfg():
+    return {
+        "relation_model": {"input_dim": 16, "hidden_dims": [16, 16]},
+        "entity_model": {"input_dim": 16, "hidden_dims": [16, 16]},
+    }
+
+
+def test_run_link_prediction_end_to_end(toy_registered, tmp_path):
+    cfg = {
+        "dataset": {"class": "ToyRun", "root": toy_registered},
+        "model": small_model_cfg(),
+        "task": {
+            "name": "TransductiveInference",
+            "num_negative": 4,
+            "strict_negative": True,
+            "adversarial_temperature": 1,
+            "metric": ["mr", "mrr", "hits@10"],
+        },
+        "optimizer": {"lr": 1e-3},
+        "train": {"batch_size": 4, "num_epoch": 1, "batch_per_epoch": 5},
+    }
+    workdir = str(tmp_path / "work")
+    results = runner.run_link_prediction(cfg, workdir, seed=0, with_plans=False)
+    for split in ("valid", "test"):
+        assert 0.0 < results[split]["mrr"] <= 1.0
+        assert results[split]["mr"] >= 1.0
+    # best-model checkpoint was written and reloaded
+    assert any(f.startswith("model_epoch_") for f in os.listdir(workdir))
+
+
+def test_zero_shot_path(toy_registered, tmp_path):
+    """num_epoch==0 goes straight to eval (run.py:26-27 early return)."""
+    cfg = {
+        "dataset": {"class": "ToyRun", "root": toy_registered},
+        "model": small_model_cfg(),
+        "task": {"name": "TransductiveInference", "metric": ["mrr"]},
+        "optimizer": {"lr": 1e-3},
+        "train": {"batch_size": 4, "num_epoch": 0},
+    }
+    results = runner.run_link_prediction(cfg, str(tmp_path / "w2"), seed=0, with_plans=False)
+    assert "mrr" in results["test"]
