@@ -1,0 +1,57 @@
+"""Multi-graph ULTRA pretraining CLI (rewrite of script/pretrain.py).
+
+  python scripts/pretrain.py -c config/transductive/pretrain_3g.yaml
+"""
+
+import logging
+import os
+import sys
+import time
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from ultra_tpu.utils import config as config_lib
+
+
+def main():
+    args, vars_ = config_lib.parse_args()
+    cfg = config_lib.load_config(args.config, context=vars_)
+
+    logging.basicConfig(level=logging.WARNING, format="%(asctime)s %(message)s")
+    workdir = os.path.join(
+        os.path.expanduser(cfg.get("output_dir", "./output")),
+        time.strftime("%Y-%m-%d-%H-%M-%S"),
+    )
+    os.makedirs(workdir, exist_ok=True)
+    logger = logging.getLogger("ultra_tpu")
+    logger.warning("config: %s", dict(cfg))
+
+    from ultra_tpu.data import kg
+    from ultra_tpu.train import runner
+    from ultra_tpu.train.loop import init_ultra_params
+    from ultra_tpu.train.pretrain import PretrainGraphs, pretrain
+    from ultra_tpu.utils import ckpt as ckpt_lib
+
+    ds_cfg = dict(cfg["dataset"])
+    ds_cfg.pop("class")
+    root = os.path.expanduser(ds_cfg.pop("root", "./kg-datasets"))
+    datasets = kg.JointDataset(root, ds_cfg.pop("graphs")).load()
+
+    ultra_cfg = runner.model_config_from_dict(cfg["model"])
+    checkpoint = cfg.get("checkpoint")
+    params = (
+        ckpt_lib.load_model_checkpoint(checkpoint)
+        if checkpoint
+        else init_ultra_params(ultra_cfg, jax.random.key(args.seed))
+    )
+
+    graphs = PretrainGraphs(datasets)
+    params = pretrain(cfg, ultra_cfg, params, graphs, workdir, seed=args.seed)
+    ckpt_lib.save_pytree(os.path.join(workdir, "model_final"), {"params": params})
+    logger.warning("saved final model to %s", workdir)
+
+
+if __name__ == "__main__":
+    main()

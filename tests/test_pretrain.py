@@ -1,0 +1,59 @@
+"""Multi-graph pretraining smoke test on two toy datasets (offline)."""
+
+import os
+
+import jax
+import numpy as np
+
+from ultra_tpu.data import kg
+from ultra_tpu.models.nbfnet import NBFNetConfig, UltraConfig
+from ultra_tpu.train.loop import init_ultra_params
+from ultra_tpu.train.pretrain import PretrainGraphs, pretrain
+
+
+def write(path, lines):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def make_toy(root, name, num_nodes=15, num_rel=3, seed=0):
+    rng = np.random.default_rng(seed)
+    lines = set()
+    while len(lines) < 60:
+        h, t = rng.choice(num_nodes, 2, replace=False)
+        lines.add(f"{name}{h} r{rng.integers(0, num_rel)} {name}{t}")
+    lines = sorted(lines)
+    raw = os.path.join(root, name, "raw")
+    write(os.path.join(raw, "train.txt"), lines[:40])
+    write(os.path.join(raw, "valid.txt"), lines[40:50])
+    write(os.path.join(raw, "test.txt"), lines[50:])
+
+    cls = type(name, (kg.TransductiveDataset,), {"name": name, "urls": ()})
+    return cls(root).load()
+
+
+def test_pretrain_two_graphs(tmp_path):
+    root = str(tmp_path)
+    datasets = [make_toy(root, "ga", seed=1), make_toy(root, "gb", seed=2)]
+
+    dims = (16, 16)
+    cfg_model = UltraConfig(
+        relation_model=NBFNetConfig(input_dim=16, hidden_dims=dims, num_relation=4),
+        entity_model=NBFNetConfig(
+            input_dim=16, hidden_dims=dims, num_relation=1, project_relations=True
+        ),
+    )
+    params = init_ultra_params(cfg_model, jax.random.key(0))
+    graphs = PretrainGraphs(datasets, with_plans=False)
+    assert abs(graphs.graph_probs.sum() - 1.0) < 1e-9
+
+    cfg = {
+        "train": {"batch_size": 4, "num_epoch": 1, "batch_per_epoch": 4, "fast_test": 5},
+        "task": {"num_negative": 4, "strict_negative": True, "adversarial_temperature": 1},
+        "optimizer": {"lr": 1e-3},
+    }
+    out = pretrain(cfg, cfg_model, params, graphs, str(tmp_path / "work"), seed=0)
+    # params updated and finite
+    for leaf in jax.tree.leaves(out):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -1,0 +1,365 @@
+"""UltraQuery execution on TPU: fixed-length, slot-synchronous program
+interpreter.
+
+The reference executor (ultraquery.py:85-136) runs a host-side ``while`` loop
+over data-dependent instruction pointers — the single most XLA-hostile
+construct in the codebase. Here programs are already padded to a fixed
+length, and execution is **slot-synchronous**: slot i of every query executes
+at step i (cheap fuzzy-set ops are masked vector ops; the expensive GNN
+projection is wrapped in ``lax.cond`` so it only runs on slots where at least
+one query projects). Per-sample op order is preserved, so results are
+identical to the reference's deferred-batching scheduler; only the grouping
+of projections into GNN calls differs.
+
+Training-time traversal dropout (ultraquery.py:34-83) is factored out to the
+host: the symbolic stack machine is exactly boolean, independent of neural
+outputs, so ``simulate_symbolic`` (numpy) precomputes per-slot dropped-edge
+weights and rebuilt relation graphs (ultraquery.py:199-203); the device
+executor takes an optional per-slot list of graphs with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ultra_tpu import tasks
+from ultra_tpu.graph import Graph, make_graph
+from ultra_tpu.models.nbfnet import UltraConfig, query_nbfnet_apply, rel_nbfnet_apply
+from ultra_tpu.query import ops
+
+STACK_SIZE = 2  # ultraquery.py:24
+
+
+@struct.dataclass
+class QueryConfig:
+    logic: str = "product"  # godel | product | lukasiewicz
+    threshold: float = 0.0  # multi-source propagation fix (ultraquery.py:266-270)
+    dropout_ratio: float = 0.25
+    more_dropout: float = 0.0
+    stack_size: int = STACK_SIZE
+
+
+def conjunction(logic: str, x, y):
+    if logic == "godel":
+        return jnp.minimum(x, y)
+    if logic == "product":
+        return x * y
+    if logic == "lukasiewicz":
+        return jnp.clip(x + y - 1, min=0)
+    raise ValueError(f"unknown fuzzy logic {logic!r}")
+
+
+def disjunction(logic: str, x, y):
+    if logic == "godel":
+        return jnp.maximum(x, y)
+    if logic == "product":
+        return x + y - x * y
+    if logic == "lukasiewicz":
+        return jnp.clip(x + y, max=1)
+    raise ValueError(f"unknown fuzzy logic {logic!r}")
+
+
+def negation(x):
+    return 1.0 - x
+
+
+# ---------------------------------------------------------------------------
+# masked batched stack (device): jnp port of query_utils.py:198-235
+# ---------------------------------------------------------------------------
+
+
+def stack_push(stack, sp, mask, value):
+    """stack (B, S, V), sp (B,), mask (B,), value (B, V)."""
+    b = stack.shape[0]
+    idx = jnp.clip(sp, 0, stack.shape[1] - 1)
+    new = stack.at[jnp.arange(b), idx].set(
+        jnp.where(mask[:, None], value, stack[jnp.arange(b), idx])
+    )
+    return new, jnp.where(mask, sp + 1, sp)
+
+
+def stack_pop(stack, sp, mask):
+    b = stack.shape[0]
+    idx = jnp.clip(sp - 1, 0, stack.shape[1] - 1)
+    value = stack[jnp.arange(b), idx]
+    return value, jnp.where(mask, sp - 1, sp)
+
+
+# ---------------------------------------------------------------------------
+# relation projection (ultraquery.py:245-277)
+# ---------------------------------------------------------------------------
+
+
+def relation_projection(params, ultra_cfg: UltraConfig, qcfg: QueryConfig, graph: Graph, h_prob, r_index):
+    """One hop: (B, V) fuzzy set + (B,) relations -> (B, V) fuzzy set."""
+    b = r_index.shape[0]
+    rel_reprs = rel_nbfnet_apply(
+        params["relation_model"], ultra_cfg.relation_model, graph.relation_graph, r_index
+    )  # (B, R, D)
+    query = rel_reprs[jnp.arange(b), r_index]  # (B, D)
+
+    if qcfg.threshold > 0.0:
+        h_prob = jnp.where(h_prob > qcfg.threshold, h_prob, 0.0)
+    # node-major boundary: (V, B, D) = h_prob^T outer query
+    node_features = h_prob.T[:, :, None] * query[None, :, :]
+    output = query_nbfnet_apply(
+        params["entity_model"], ultra_cfg.entity_model, graph, node_features, rel_reprs, query
+    )  # (B, V)
+    return jax.nn.sigmoid(output)
+
+
+# ---------------------------------------------------------------------------
+# device executor
+# ---------------------------------------------------------------------------
+
+
+def execute(
+    params,
+    ultra_cfg: UltraConfig,
+    qcfg: QueryConfig,
+    graphs: Union[Graph, Sequence[Graph]],
+    kind: jax.Array,  # (B, L) int8 (ops.decompose)
+    operand: jax.Array,  # (B, L) int32
+):
+    """Returns (B, V) logits over answer nodes (ultraquery.py:138-144).
+
+    ``graphs``: a single Graph (eval) or one per slot (training-time
+    traversal dropout edits both the edge weights and the relation graph).
+    """
+    first = graphs[0] if isinstance(graphs, (list, tuple)) else graphs
+    b = kind.shape[0]
+    length = kind.shape[1]
+    v = first.num_nodes
+
+    stack = jnp.zeros((b, qcfg.stack_size, v), jnp.float32)
+    sp = jnp.zeros((b,), jnp.int32)
+
+    for i in range(length):
+        graph = graphs[i] if isinstance(graphs, (list, tuple)) else graphs
+        k = kind[:, i]
+        arg = operand[:, i]
+
+        is_operand = k == ops.K_OPERAND
+        is_inter = k == ops.K_INTERSECTION
+        is_union = k == ops.K_UNION
+        is_neg = k == ops.K_NEGATION
+        is_proj = k == ops.K_PROJECTION
+
+        # operand: push one-hot (ultraquery.py:147-154)
+        onehot = jax.nn.one_hot(jnp.clip(arg, 0, v - 1), v, dtype=jnp.float32)
+        stack, sp = stack_push(stack, sp, is_operand, onehot)
+
+        # binary ops (ultraquery.py:156-182)
+        is_binary = is_inter | is_union
+        y, sp = stack_pop(stack, sp, is_binary)
+        x, sp = stack_pop(stack, sp, is_binary)
+        z = jnp.where(
+            is_inter[:, None],
+            conjunction(qcfg.logic, x, y),
+            disjunction(qcfg.logic, x, y),
+        )
+        stack, sp = stack_push(stack, sp, is_binary, z)
+
+        # negation (ultraquery.py:184-194)
+        xn, sp = stack_pop(stack, sp, is_neg)
+        stack, sp = stack_push(stack, sp, is_neg, negation(xn))
+
+        # projection — the expensive GNN hop; only runs when some query
+        # projects at this slot (lax.cond on a traced predicate)
+        h_prob, sp = stack_pop(stack, sp, is_proj)
+
+        def do_projection(carry):
+            stack, sp, h_prob = carry
+            t_prob = relation_projection(
+                params, ultra_cfg, qcfg, graph,
+                jax.lax.stop_gradient(h_prob),  # detach (ultraquery.py:209)
+                jnp.clip(arg, 0, graph.num_relations - 1),
+            )
+            stack, sp = stack_push(stack, sp, is_proj, t_prob)
+            return stack, sp
+
+        def skip(carry):
+            stack, sp, h_prob = carry
+            # undo the speculative pop for non-projecting samples handled by
+            # the mask already; push nothing
+            return stack, sp
+
+        stack, sp = jax.lax.cond(
+            jnp.any(is_proj), do_projection, skip, (stack, sp, h_prob)
+        )
+
+    t_prob, sp = stack_pop(stack, sp, jnp.ones((b,), bool))
+    t_logit = jnp.log((t_prob + 1e-10) / (1 - t_prob + 1e-10))
+    return t_logit
+
+
+# ---------------------------------------------------------------------------
+# host-side symbolic machine + traversal dropout (training data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def symbolic_traversal_host(h_sets, r_index, edge_index, edge_type, live):
+    """Boolean traversal: t in out[b] iff an edge (h -> t) of type r_index[b]
+    with h in h_sets[b] survives (ultraquery.py:281-298). numpy."""
+    b, v = h_sets.shape
+    out = np.zeros_like(h_sets)
+    for i in range(b):
+        mask = live & (edge_type == r_index[i]) & h_sets[i, edge_index[0]]
+        out[i, edge_index[1][mask]] = True
+    return out
+
+
+def traversal_dropout_host(
+    h_sets, r_index, edge_index, edge_type, live, num_relations,
+    rng, dropout_ratio, more_dropout=0.0, inverse_rel_plus_one=False,
+):
+    """Edge ids to drop for this projection round (ultraquery.py:34-83)."""
+    sample, h_index = np.nonzero(h_sets)
+    r = np.asarray(r_index)[sample]
+
+    matcher_d = tasks.EdgeMatcher(np.stack([edge_index[0], edge_type]).astype(np.int64))
+    direct_ids, _ = matcher_d.query(np.stack([h_index, r]))
+    if inverse_rel_plus_one:
+        inv_r = r ^ 1
+    else:
+        half = num_relations // 2
+        inv_r = np.where(r >= half, r - half, r + half)
+    matcher_i = tasks.EdgeMatcher(np.stack([edge_type, edge_index[1]]).astype(np.int64))
+    inverse_ids, _ = matcher_i.query(np.stack([inv_r, h_index]))
+
+    ids = np.concatenate([direct_ids, inverse_ids])
+    ids = ids[live[ids]]
+
+    # never drop edges whose endpoints have degree <= 1 (ultraquery.py:56-62)
+    deg_h = np.bincount(edge_index[0], weights=live.astype(np.int64), minlength=h_sets.shape[1])
+    deg_t = np.bincount(edge_index[1], weights=live.astype(np.int64), minlength=h_sets.shape[1])
+    must_keep = (deg_h[edge_index[0, ids]] <= 1) | (deg_t[edge_index[1, ids]] <= 1)
+    ids = ids[~must_keep]
+    ids = ids[rng.random(len(ids)) <= dropout_ratio]
+
+    if more_dropout > 0.0:
+        more = np.nonzero(rng.random(edge_index.shape[1]) <= more_dropout)[0]
+        keep = (deg_h[edge_index[0, more]] <= 1) | (deg_t[edge_index[1, more]] <= 1)
+        more = more[~keep]
+        ids = np.unique(np.concatenate([ids, more]))
+    return ids
+
+
+class SymbolicPlan:
+    """Per-slot dropped-edge weights + rebuilt relation graphs for a batch."""
+
+    def __init__(self, slot_weights: List[np.ndarray], slot_rel_graphs: List):
+        self.slot_weights = slot_weights
+        self.slot_rel_graphs = slot_rel_graphs
+
+
+def simulate_symbolic(
+    kind: np.ndarray,
+    operand: np.ndarray,
+    graph_host: dict,
+    qcfg: QueryConfig,
+    rng: np.random.Generator,
+    rel_pad_to: Optional[int] = None,
+    training: bool = True,
+):
+    """Run the boolean stack machine slot-synchronously on the host, applying
+    traversal dropout before each projection slot (training). Returns per-slot
+    (edge_weight (E_pad,), rel_graph Graph) aligned with executor slots.
+
+    graph_host: dict with edge_index (2,E live), edge_type, num_nodes,
+    num_relations, e_pad, inverse_rel_plus_one.
+    """
+    edge_index = np.asarray(graph_host["edge_index"])
+    edge_type = np.asarray(graph_host["edge_type"])
+    v = graph_host["num_nodes"]
+    num_rel = graph_host["num_relations"]
+    e_pad = graph_host["e_pad"]
+    e = edge_index.shape[1]
+
+    b, length = kind.shape
+    stack = np.zeros((b, qcfg.stack_size, v), dtype=bool)
+    sp = np.zeros(b, dtype=np.int64)
+
+    def push(mask, val):
+        nonlocal stack, sp
+        stack[mask, sp[mask]] = val[mask]
+        sp[mask] += 1
+
+    def pop(mask):
+        nonlocal sp
+        sp[mask] -= 1
+        return stack[np.arange(b), np.clip(sp, 0, qcfg.stack_size - 1)]
+
+    slot_weights, slot_rel_graphs = [], []
+    for i in range(length):
+        k, arg = kind[:, i], operand[:, i]
+        is_operand = k == ops.K_OPERAND
+        is_inter = k == ops.K_INTERSECTION
+        is_union = k == ops.K_UNION
+        is_neg = k == ops.K_NEGATION
+        is_proj = k == ops.K_PROJECTION
+
+        if is_operand.any():
+            onehot = np.zeros((b, v), dtype=bool)
+            onehot[np.arange(b), np.clip(arg, 0, v - 1)] = True
+            push(is_operand, onehot)
+        binary = is_inter | is_union
+        if binary.any():
+            y = pop(binary)
+            x = pop(binary)
+            z = np.where(is_inter[:, None], x & y, x | y)
+            push(binary, z)
+        if is_neg.any():
+            x = pop(is_neg)
+            push(is_neg, ~x)
+
+        if is_proj.any():
+            h_sets = pop(is_proj).copy()
+            h_sets[~is_proj] = False
+            # dropout is applied per projection round from the ORIGINAL
+            # graph (apply_projection receives the unmodified graph each
+            # round, ultraquery.py:196-203) — not cumulatively
+            live = np.ones(e, dtype=bool)
+            if training and qcfg.dropout_ratio > 0:
+                drop = traversal_dropout_host(
+                    h_sets[is_proj], arg[is_proj], edge_index, edge_type, live,
+                    num_rel, rng, qcfg.dropout_ratio, qcfg.more_dropout,
+                    graph_host.get("inverse_rel_plus_one", False),
+                )
+                live[drop] = False
+            t_sets = symbolic_traversal_host(h_sets, arg, edge_index, edge_type, live)
+            push(is_proj, t_sets)
+
+            w = np.zeros(e_pad, dtype=np.float32)
+            w[:e][live] = 1.0
+            rel_ei, rel_et = tasks.build_relation_graph_arrays(
+                edge_index[:, live], edge_type[live], v, num_rel
+            )
+            rel_graph = make_graph(
+                rel_ei, rel_et, num_nodes=num_rel, num_relations=4, pad_to=rel_pad_to
+            )
+            slot_weights.append(w)
+            slot_rel_graphs.append(rel_graph)
+        else:
+            slot_weights.append(None)
+            slot_rel_graphs.append(None)
+
+    return SymbolicPlan(slot_weights, slot_rel_graphs)
+
+
+def graphs_for_slots(base_graph: Graph, plan: SymbolicPlan) -> List[Graph]:
+    """Materialize the per-slot Graph list for execute()."""
+    out = []
+    for w, rg in zip(plan.slot_weights, plan.slot_rel_graphs):
+        if w is None:
+            out.append(base_graph)
+        else:
+            out.append(
+                base_graph.replace(edge_weight=jnp.asarray(w), relation_graph=rg)
+            )
+    return out
