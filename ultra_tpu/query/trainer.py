@@ -1,0 +1,262 @@
+"""UltraQuery training and evaluation loops — rewrite of script/run_query.py.
+
+Loss (run_query.py:96-113): BCE over all nodes against the easy-answer mask;
+positive positions weighted 1/num_positive per query, negative positions by
+a self-adversarial softmax over that query's negatives.
+
+Training-time traversal dropout runs on the host (query/executor.py
+simulate_symbolic) and reaches the device as per-slot graphs with static
+shapes. Evaluation computes filtered hard-answer rankings per batch
+(query/metrics.py) and rolls up per-type / EPFO / negation metrics.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ultra_tpu.graph import Graph, pad_bucket, make_graph
+from ultra_tpu.models.nbfnet import UltraConfig
+from ultra_tpu.query import metrics as qmetrics
+from ultra_tpu.query import ops
+from ultra_tpu.query.datasets import QueryDataset, QueryGraph
+from ultra_tpu.query.executor import (
+    QueryConfig,
+    execute,
+    graphs_for_slots,
+    simulate_symbolic,
+)
+from ultra_tpu import tasks
+from ultra_tpu.train.loop import TrainState, init_train_state, make_optimizer
+from ultra_tpu.utils import ckpt as ckpt_lib
+
+logger = logging.getLogger("ultra_tpu")
+
+
+def prepare_query_graph(qg: QueryGraph, rel_pad_to: Optional[int] = None) -> Graph:
+    """QueryGraph -> device Graph (+ relation graph). Query graphs already
+    contain inverse relations — no augmentation (datasets_query.py:103-109)."""
+    rel_ei, rel_et = tasks.build_relation_graph_arrays(
+        qg.edge_index, qg.edge_type, qg.num_nodes, qg.num_relations
+    )
+    if rel_pad_to is None:
+        rel_pad_to = pad_bucket(rel_ei.shape[1], 1024)
+    rel_graph = make_graph(
+        rel_ei, rel_et, num_nodes=qg.num_relations, num_relations=4, pad_to=rel_pad_to
+    )
+    return make_graph(
+        qg.edge_index,
+        qg.edge_type,
+        num_nodes=qg.num_nodes,
+        num_relations=qg.num_relations,
+        pad_to=pad_bucket(qg.edge_index.shape[1], 2048),
+        relation_graph=rel_graph,
+    )
+
+
+def answers_to_mask(answers: Sequence[np.ndarray], num_nodes: int) -> np.ndarray:
+    out = np.zeros((len(answers), num_nodes), dtype=bool)
+    for i, a in enumerate(answers):
+        if len(a):
+            out[i, a] = True
+    return out
+
+
+def query_bce_loss(pred, target, adversarial_temperature: float):
+    """pred (B, V) logits, target (B, V) in {0,1} (easy answers).
+
+    Matches run_query.py:96-113: positive weight 1/num_pos; negatives get a
+    softmax over each row's negative logits.
+    """
+    loss = optax.sigmoid_binary_cross_entropy(pred, target)
+    is_pos = target > 0.5
+    is_neg = ~is_pos
+    num_pos = jnp.maximum(is_pos.sum(axis=-1, keepdims=True), 1)
+    pos_w = jnp.where(is_pos, 1.0 / num_pos, 0.0)
+    if adversarial_temperature > 0:
+        logits = jnp.where(
+            is_neg, jax.lax.stop_gradient(pred) / adversarial_temperature, -jnp.inf
+        )
+        neg_w = jax.nn.softmax(logits, axis=-1)
+        neg_w = jnp.where(is_neg, neg_w, 0.0)
+    else:
+        num_neg = jnp.maximum(is_neg.sum(axis=-1, keepdims=True), 1)
+        neg_w = jnp.where(is_neg, 1.0 / num_neg, 0.0)
+    weight = pos_w + neg_w
+    per_query = (loss * weight).sum(axis=-1) / weight.sum(axis=-1)
+    return per_query.mean()
+
+
+def make_query_train_step(
+    ultra_cfg: UltraConfig,
+    qcfg: QueryConfig,
+    optimizer: optax.GradientTransformation,
+    adversarial_temperature: float = 1.0,
+):
+    @jax.jit
+    def step(state: TrainState, slot_graphs, kind, operand, target):
+        def loss_fn(params):
+            pred = execute(params, ultra_cfg, qcfg, slot_graphs, kind, operand)
+            return query_bce_loss(pred, target, adversarial_temperature)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def make_query_forward(ultra_cfg: UltraConfig, qcfg: QueryConfig):
+    @jax.jit
+    def fwd(params, graph: Graph, kind, operand):
+        return execute(params, ultra_cfg, qcfg, graph, kind, operand)
+
+    return fwd
+
+
+def evaluate_queries(
+    params,
+    ultra_cfg: UltraConfig,
+    qcfg: QueryConfig,
+    graph: Graph,
+    dataset: QueryDataset,
+    indices: np.ndarray,
+    batch_size: int,
+    metric_names: Sequence[str] = ("mrr", "hits@1", "hits@3", "hits@10", "mape"),
+    restrict_nodes: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    fwd = make_query_forward(ultra_cfg, qcfg.replace(dropout_ratio=0.0))
+    v = graph.num_nodes
+
+    all_rank, all_answer_rank = [], []
+    all_easy, all_hard, all_types, all_num_pred = [], [], [], []
+    for start in range(0, len(indices), batch_size):
+        take = indices[start : start + batch_size]
+        valid = len(take)
+        if valid < batch_size:
+            take = np.concatenate([take, np.repeat(take[-1:], batch_size - valid)])
+        kind, operand = ops.decompose(dataset.queries[take])
+        pred = np.asarray(
+            fwd(params, graph, jnp.asarray(kind), jnp.asarray(operand))
+        )[:valid]
+        take = take[:valid]
+        easy = answers_to_mask([dataset.easy_answers[i] for i in take], v)
+        hard = answers_to_mask([dataset.hard_answers[i] for i in take], v)
+        rank, answer_rank, n_easy, n_hard = qmetrics.batch_evaluate(
+            pred, easy, hard, restrict_nodes
+        )
+        prob = 1.0 / (1.0 + np.exp(-pred))
+        num_pred = (prob * (prob > 0.5)).sum(axis=-1)
+        all_rank.append(rank)
+        all_answer_rank.append(answer_rank)
+        all_easy.append(n_easy)
+        all_hard.append(n_hard)
+        all_types.append(dataset.types[take])
+        all_num_pred.append(num_pred)
+
+    return qmetrics.evaluate(
+        np.concatenate(all_rank),
+        np.concatenate(all_answer_rank),
+        np.concatenate(all_easy),
+        np.concatenate(all_hard),
+        np.concatenate(all_types),
+        np.concatenate(all_num_pred),
+        metric_names,
+        dataset.id2type,
+    )
+
+
+def train_queries(
+    cfg: dict,
+    ultra_cfg: UltraConfig,
+    qcfg: QueryConfig,
+    params,
+    dataset: QueryDataset,
+    workdir: str,
+    seed: int = 1024,
+):
+    """Query-answering training loop (run_query.py:53-155)."""
+    train_cfg, task_cfg = cfg["train"], cfg["task"]
+    num_epoch = int(train_cfg.get("num_epoch", 0))
+    if num_epoch == 0:
+        return params
+    batch_size = int(train_cfg.get("batch_size", 8))
+    batch_per_epoch = train_cfg.get("batch_per_epoch") or None
+    adv_temp = float(task_cfg.get("adversarial_temperature", 0.2))
+    fast_test = train_cfg.get("fast_test")
+
+    qg_train = dataset.graphs[0]
+    base_graph = prepare_query_graph(qg_train)
+    rel_pad = base_graph.relation_graph.num_edges_padded
+    graph_host = {
+        "edge_index": qg_train.edge_index,
+        "edge_type": qg_train.edge_type,
+        "num_nodes": qg_train.num_nodes,
+        "num_relations": qg_train.num_relations,
+        "e_pad": base_graph.num_edges_padded,
+        "inverse_rel_plus_one": qg_train.inverse_rel_plus_one,
+    }
+    valid_graph = prepare_query_graph(dataset.graphs[1])
+
+    optimizer = make_optimizer(lr=float(cfg["optimizer"].get("lr", 5e-4)))
+    state = init_train_state(params, optimizer)
+    step_fn = make_query_train_step(ultra_cfg, qcfg, optimizer, adv_temp)
+
+    (tr_lo, tr_hi), (va_lo, va_hi), _ = dataset.split_ranges()
+    train_idx = np.arange(tr_lo, tr_hi)
+    valid_idx = np.arange(va_lo, va_hi)
+    rng = np.random.default_rng(seed)
+    tracker = ckpt_lib.BestModelTracker(workdir)
+    steps_per_epoch = batch_per_epoch or math.ceil(len(train_idx) / batch_size)
+    epoch_block = math.ceil(num_epoch / 10)
+    v = base_graph.num_nodes
+
+    epoch = 0
+    for block_start in range(0, num_epoch, epoch_block):
+        for epoch in range(block_start, min(num_epoch, block_start + epoch_block)):
+            t0 = time.time()
+            losses = []
+            perm = rng.permutation(train_idx)
+            for step in range(steps_per_epoch):
+                take = perm[(step * batch_size) % len(perm) :][:batch_size]
+                if len(take) < batch_size:
+                    take = np.concatenate([take, perm[: batch_size - len(take)]])
+                kind, operand = ops.decompose(dataset.queries[take])
+                plan = simulate_symbolic(
+                    kind, operand, graph_host, qcfg, rng, rel_pad_to=rel_pad,
+                    training=True,
+                )
+                slot_graphs = graphs_for_slots(base_graph, plan)
+                target = answers_to_mask(
+                    [dataset.easy_answers[i] for i in take], v
+                ).astype(np.float32)
+                state, loss = step_fn(
+                    state, slot_graphs, jnp.asarray(kind), jnp.asarray(operand),
+                    jnp.asarray(target),
+                )
+                losses.append(loss)
+            logger.warning(
+                "epoch %d: avg bce %.6f (%.1fs)", epoch,
+                float(np.mean([float(l) for l in losses])), time.time() - t0,
+            )
+
+        idx = valid_idx
+        if fast_test is not None and fast_test < len(idx):
+            idx = np.random.default_rng(1024).choice(idx, size=fast_test, replace=False)
+        val = evaluate_queries(
+            state.params, ultra_cfg, qcfg, valid_graph, dataset, idx,
+            batch_size=batch_size, metric_names=("mrr",),
+            restrict_nodes=dataset.graphs[1].restrict_nodes,
+        )
+        logger.warning("valid after epoch %d: mrr %.4f", epoch, val["mrr"])
+        tracker.update(epoch + 1, val["mrr"], state)
+
+    return tracker.load_best(state.params)
