@@ -72,7 +72,7 @@ def main():
 
     graph = make_graph(ei, et, num_nodes=V, num_relations=2 * R_DIRECT, pad_to=e_pad)
     t0 = time.perf_counter()
-    graph = attach_plans(graph, rb=256, chunk=256, host_edges=(ei_p, et_p, ew_p))
+    graph = attach_plans(graph, rb=384, chunk=128, host_edges=(ei_p, et_p, ew_p))
     k = graph.plans.dst.num_chunks
     log(
         f"graph: V={V} E={e_live} R={2*R_DIRECT} feat={B}x{D}; "

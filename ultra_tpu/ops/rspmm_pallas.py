@@ -89,9 +89,9 @@ def build_plan(
     num_relations: int,
     *,
     reduce_side: str = "dst",  # 'dst' (forward) | 'src' (input-grad)
-    rb_reduce: int = 256,
-    rb_gather: int = 256,
-    chunk: int = 256,
+    rb_reduce: int = 384,
+    rb_gather: int = 384,
+    chunk: int = 128,
     edge_ids: Optional[np.ndarray] = None,  # ids into the runtime weight vec
     dead_slot: Optional[int] = None,  # weight index holding a constant 0.0
 ) -> PallasPlan:
@@ -358,7 +358,7 @@ class GraphPlans:
     @classmethod
     def build(
         cls, edge_index, edge_type, num_nodes, num_relations,
-        rb: int = 256, chunk: int = 256,
+        rb: int = 384, chunk: int = 128,
         edge_ids=None, dead_slot=None,
     ) -> "GraphPlans":
         kw = dict(
@@ -377,7 +377,7 @@ class GraphPlans:
         )
 
 
-def attach_plans(graph, rb: int = 256, chunk: int = 256, host_edges=None):
+def attach_plans(graph, rb: int = 384, chunk: int = 128, host_edges=None):
     """Build GraphPlans from a Graph's live edges and attach them.
 
     The plan permutation indexes the graph's full padded edge-weight vector
