@@ -338,7 +338,7 @@ def simulate_symbolic(
             w = np.zeros(e_pad, dtype=np.float32)
             w[:e][live] = 1.0
             rel_ei, rel_et = tasks.build_relation_graph_arrays(
-                edge_index[:, live], edge_type[live], v, num_rel
+                edge_index, edge_type, v, num_rel, live=live
             )
             rel_graph = make_graph(
                 rel_ei, rel_et, num_nodes=num_rel, num_relations=4, pad_to=rel_pad_to

@@ -228,18 +228,35 @@ def compute_ranking(pred: jax.Array, target: jax.Array, mask=None) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def build_relation_graph_arrays(edge_index, edge_type, num_nodes, num_relations):
+def build_relation_graph_arrays(
+    edge_index, edge_type, num_nodes, num_relations, live=None
+):
     """Edges of the graph-of-relations: 4 meta-relation types
     h2h=0, t2t=1, h2t=2, t2h=3 (tasks.py:186-189).
 
     The reference computes degree-normalized sparse products A_xy = E_x^T E_y
     and keeps only the nonzero *pattern* (values are discarded,
     tasks.py:181-193) — so this reduces to a per-node join of the distinct
-    (node, relation) incidence pairs, done here with numpy group-bys.
+    (node, relation) incidence pairs. Uses the native C++ bitset join when
+    available (ultra_tpu/native, ~10x faster — this runs per projection step
+    in UltraQuery training), else vectorized numpy group-bys.
     Returns (edge_index (2, M), edge_type (M,)) with relation ids as nodes.
+
+    ``live``: optional boolean mask over edges (traversal dropout).
     """
+    from ultra_tpu import native
+
+    out = native.relgraph_build_native(
+        edge_index, edge_type, num_nodes, num_relations, live
+    )
+    if out is not None:
+        return out
+
     ei = np.asarray(edge_index, dtype=np.int64)
     et = np.asarray(edge_type, dtype=np.int64)
+    if live is not None:
+        keep = np.asarray(live, dtype=bool)
+        ei, et = ei[:, keep], et[keep]
 
     def incidence(nodes):
         # distinct (node, rel) pairs, like vstack().unique(dim=0)
