@@ -129,6 +129,7 @@ def pretrain(
                     graphs.train_indexes[gi],
                     batch,
                     graphs.train_graphs[gi].num_edges_padded,
+                    remove_one_hop=ultra_cfg.entity_model.remove_one_hop,
                 )
                 state, loss = step_fn(
                     state, graphs.train_graphs[gi], jnp.asarray(batch), jnp.asarray(ew)

@@ -54,6 +54,7 @@ def model_config_from_dict(model_cfg: dict) -> UltraConfig:
             activation=cfg.get("activation", "relu"),
             concat_hidden=bool(cfg.get("concat_hidden", False)),
             num_mlp_layer=int(cfg.get("num_mlp_layer", 2)),
+            remove_one_hop=bool(cfg.get("remove_one_hop", False)),
             project_relations=project_relations,
         )
 
@@ -189,7 +190,8 @@ def train_and_validate(
                     train_index, batch_triples, num_negative, strict=strict, rng=rng
                 )
                 ew = tasks.easy_edge_weights(
-                    train_index, batch, train_graph.num_edges_padded
+                    train_index, batch, train_graph.num_edges_padded,
+                    remove_one_hop=ultra_cfg.entity_model.remove_one_hop,
                 )
                 state, loss = step_fn(
                     state, train_graph, jnp.asarray(batch), jnp.asarray(ew)
