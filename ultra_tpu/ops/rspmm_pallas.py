@@ -94,6 +94,7 @@ def build_plan(
     chunk: int = 128,
     edge_ids: Optional[np.ndarray] = None,  # ids into the runtime weight vec
     dead_slot: Optional[int] = None,  # weight index holding a constant 0.0
+    pad_chunks_to: Optional[int] = None,  # fixed chunk count (jit stability)
 ) -> PallasPlan:
     """Bucket edges into (reduce_blk, gather_blk) tiles, pad each tile's edge
     list to a multiple of ``chunk``. O(E log E) host work, once per graph."""
@@ -138,6 +139,26 @@ def build_plan(
     chunk_tile = np.repeat(uniq, padded // chunk) if k else np.zeros(0, np.int64)
     reduce_blk = (chunk_tile // n_gat_blk).astype(np.int32)
     gather_blk = (chunk_tile % n_gat_blk).astype(np.int32)
+
+    if pad_chunks_to is not None:
+        # Pad to a fixed chunk count with all-dead chunks so graphs whose
+        # edge sets change per batch (UltraQuery traversal dropout rebuilds)
+        # keep one stable jit trace. Dead chunks extend the LAST output
+        # block's run (weights 0), preserving the consecutive-revisit order.
+        assert pad_chunks_to >= k, (pad_chunks_to, k)
+        extra = pad_chunks_to - k
+        if extra:
+            last_rb = reduce_blk[-1] if k else np.int32(0)
+            last_gb = gather_blk[-1] if k else np.int32(0)
+            reduce_blk = np.concatenate([reduce_blk, np.full(extra, last_rb, np.int32)])
+            gather_blk = np.concatenate([gather_blk, np.full(extra, last_gb, np.int32)])
+            pad_rows = extra * chunk
+            local_reduce = np.concatenate([local_reduce, np.zeros(pad_rows, np.int32)])
+            local_gather = np.concatenate([local_gather, np.zeros(pad_rows, np.int32)])
+            types = np.concatenate([types, np.zeros(pad_rows, np.int32)])
+            perm = np.concatenate([perm, np.full(pad_rows, dead_slot, np.int64)])
+            total = pad_chunks_to * chunk
+            k = pad_chunks_to
 
     r_pad = max(_round_up(num_relations, 8), 8)
     return PallasPlan(
@@ -359,11 +380,11 @@ class GraphPlans:
     def build(
         cls, edge_index, edge_type, num_nodes, num_relations,
         rb: int = 384, chunk: int = 128,
-        edge_ids=None, dead_slot=None,
+        edge_ids=None, dead_slot=None, pad_chunks_to=None,
     ) -> "GraphPlans":
         kw = dict(
             rb_reduce=rb, rb_gather=rb, chunk=chunk,
-            edge_ids=edge_ids, dead_slot=dead_slot,
+            edge_ids=edge_ids, dead_slot=dead_slot, pad_chunks_to=pad_chunks_to,
         )
         return cls(
             dst=build_plan(
@@ -377,7 +398,8 @@ class GraphPlans:
         )
 
 
-def attach_plans(graph, rb: int = 384, chunk: int = 128, host_edges=None):
+def attach_plans(graph, rb: int = 384, chunk: int = 128, host_edges=None,
+                 pad_chunks_to=None):
     """Build GraphPlans from a Graph's live edges and attach them.
 
     The plan permutation indexes the graph's full padded edge-weight vector
@@ -399,6 +421,7 @@ def attach_plans(graph, rb: int = 384, chunk: int = 128, host_edges=None):
         ei[:, live], et[live], graph.num_nodes, graph.num_relations,
         rb=rb, chunk=chunk,
         edge_ids=live, dead_slot=graph.num_edges_padded,
+        pad_chunks_to=pad_chunks_to,
     )
     return graph.replace(plans=plans)
 

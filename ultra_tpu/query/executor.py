@@ -266,6 +266,7 @@ def simulate_symbolic(
     rng: np.random.Generator,
     rel_pad_to: Optional[int] = None,
     training: bool = True,
+    rel_plan_template: Optional[dict] = None,  # {rb, chunk, pad_chunks_to}
 ):
     """Run the boolean stack machine slot-synchronously on the host, applying
     traversal dropout before each projection slot (training). Returns per-slot
@@ -343,6 +344,22 @@ def simulate_symbolic(
             rel_graph = make_graph(
                 rel_ei, rel_et, num_nodes=num_rel, num_relations=4, pad_to=rel_pad_to
             )
+            if rel_plan_template is not None:
+                from ultra_tpu.ops.rspmm_pallas import attach_plans
+
+                e_rel = rel_ei.shape[1]
+                pad = rel_graph.num_edges_padded - e_rel
+                rel_graph = attach_plans(
+                    rel_graph,
+                    rb=rel_plan_template["rb"],
+                    chunk=rel_plan_template["chunk"],
+                    pad_chunks_to=rel_plan_template.get("pad_chunks_to"),
+                    host_edges=(
+                        np.pad(rel_ei, ((0, 0), (0, pad))),
+                        np.pad(rel_et, (0, pad)),
+                        np.pad(np.ones(e_rel, np.float32), (0, pad)),
+                    ),
+                )
             slot_weights.append(w)
             slot_rel_graphs.append(rel_graph)
         else:

@@ -40,9 +40,20 @@ from ultra_tpu.utils import ckpt as ckpt_lib
 logger = logging.getLogger("ultra_tpu")
 
 
-def prepare_query_graph(qg: QueryGraph, rel_pad_to: Optional[int] = None) -> Graph:
+def prepare_query_graph(
+    qg: QueryGraph, rel_pad_to: Optional[int] = None, with_plans: Optional[bool] = None
+) -> Graph:
     """QueryGraph -> device Graph (+ relation graph). Query graphs already
-    contain inverse relations — no augmentation (datasets_query.py:103-109)."""
+    contain inverse relations — no augmentation (datasets_query.py:103-109).
+
+    ``with_plans`` (default: on TPU backends) attaches Pallas rspmm plans;
+    the relation-graph plan is chunk-padded so per-slot dropout rebuilds in
+    training keep a stable jit trace.
+    """
+    if with_plans is None:
+        import jax as _jax
+
+        with_plans = _jax.default_backend() in ("tpu", "axon")
     rel_ei, rel_et = tasks.build_relation_graph_arrays(
         qg.edge_index, qg.edge_type, qg.num_nodes, qg.num_relations
     )
@@ -51,7 +62,7 @@ def prepare_query_graph(qg: QueryGraph, rel_pad_to: Optional[int] = None) -> Gra
     rel_graph = make_graph(
         rel_ei, rel_et, num_nodes=qg.num_relations, num_relations=4, pad_to=rel_pad_to
     )
-    return make_graph(
+    graph = make_graph(
         qg.edge_index,
         qg.edge_type,
         num_nodes=qg.num_nodes,
@@ -59,6 +70,27 @@ def prepare_query_graph(qg: QueryGraph, rel_pad_to: Optional[int] = None) -> Gra
         pad_to=pad_bucket(qg.edge_index.shape[1], 2048),
         relation_graph=rel_graph,
     )
+    if with_plans:
+        from ultra_tpu.ops.rspmm_pallas import attach_plans
+
+        def host_padded(ei, et, e_pad):
+            e = ei.shape[1]
+            return (
+                np.pad(np.asarray(ei, np.int64), ((0, 0), (0, e_pad - e))),
+                np.pad(np.asarray(et, np.int64), (0, e_pad - e)),
+                np.pad(np.ones(e, np.float32), (0, e_pad - e)),
+            )
+
+        rel_graph = attach_plans(
+            rel_graph, rb=128, chunk=128,
+            host_edges=host_padded(rel_ei, rel_et, rel_graph.num_edges_padded),
+        )
+        graph = attach_plans(
+            graph,
+            host_edges=host_padded(qg.edge_index, qg.edge_type, graph.num_edges_padded),
+        )
+        graph = graph.replace(relation_graph=rel_graph)
+    return graph
 
 
 def answers_to_mask(answers: Sequence[np.ndarray], num_nodes: int) -> np.ndarray:
@@ -230,9 +262,19 @@ def train_queries(
                 if len(take) < batch_size:
                     take = np.concatenate([take, perm[: batch_size - len(take)]])
                 kind, operand = ops.decompose(dataset.queries[take])
+                rel_plans = base_graph.relation_graph.plans
                 plan = simulate_symbolic(
                     kind, operand, graph_host, qcfg, rng, rel_pad_to=rel_pad,
                     training=True,
+                    rel_plan_template=(
+                        {
+                            "rb": rel_plans.dst.rb_reduce,
+                            "chunk": rel_plans.dst.chunk,
+                            "pad_chunks_to": rel_plans.dst.num_chunks,
+                        }
+                        if rel_plans is not None
+                        else None
+                    ),
                 )
                 slot_graphs = graphs_for_slots(base_graph, plan)
                 target = answers_to_mask(
