@@ -1,0 +1,142 @@
+"""Non-flagship conv options: rotate message, mean/max/pna aggregation,
+dependent relations, concat_hidden — against the independent torch oracle
+or self-consistency invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ultra_tpu.data.synthetic import synthetic_graph
+from ultra_tpu.models.layers import ConvConfig, conv_apply
+from ultra_tpu.models.nbfnet import NBFNetConfig, rel_nbfnet_apply
+from ultra_tpu.train.loop import init_ultra_params
+
+
+def make_layer_params(rng, d, num_rel, in_mult=2):
+    return {
+        "linear": {
+            "w": jnp.asarray(rng.normal(size=(in_mult * d, d), scale=0.1).astype(np.float32)),
+            "b": jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.01),
+        },
+        "layer_norm": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
+        "relation": jnp.asarray(rng.normal(size=(num_rel, d)).astype(np.float32)),
+    }
+
+
+@pytest.fixture
+def graph_setup():
+    graph, ei, et = synthetic_graph(num_nodes=18, num_direct_rel=3, num_triples=50, seed=6)
+    rng = np.random.default_rng(0)
+    d, b = 8, 2
+    x = jnp.asarray(rng.normal(size=(graph.num_nodes, b, d)).astype(np.float32))
+    boundary = jnp.asarray(rng.normal(size=(graph.num_nodes, b, d)).astype(np.float32))
+    query = jnp.ones((b, d), jnp.float32)
+    return graph, rng, d, b, x, boundary, query
+
+
+def test_rotate_message(graph_setup):
+    graph, rng, d, b, x, boundary, query = graph_setup
+    params = make_layer_params(rng, d, graph.num_relations)
+    cfg = ConvConfig(
+        input_dim=d, output_dim=d, num_relation=graph.num_relations,
+        message_func="rotate", aggregate_func="sum",
+    )
+    out = conv_apply(params, cfg, graph, x, boundary, query=query)
+    assert out.shape == x.shape
+
+    # oracle: per-edge complex rotation summed per dst + boundary
+    ei = np.asarray(graph.edge_index)
+    et = np.asarray(graph.edge_type)
+    xe = np.asarray(x)[ei[1]]
+    re = np.asarray(params["relation"])[et][:, None, :]
+    h = d // 2
+    msg = np.concatenate(
+        [xe[..., :h] * re[..., :h] - xe[..., h:] * re[..., h:],
+         xe[..., :h] * re[..., h:] + xe[..., h:] * re[..., :h]], axis=-1,
+    ) * np.asarray(graph.edge_weight)[:, None, None]
+    upd = np.zeros_like(np.asarray(x))
+    np.add.at(upd, ei[0], msg)
+    upd = upd + np.asarray(boundary)
+    z = np.concatenate([np.asarray(x), upd], axis=-1) @ np.asarray(params["linear"]["w"]) + np.asarray(params["linear"]["b"])
+    mu = z.mean(-1, keepdims=True)
+    var = ((z - mu) ** 2).mean(-1, keepdims=True)
+    expect = np.maximum((z - mu) / np.sqrt(var + 1e-5), 0.0)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("agg", ["mean", "max", "pna"])
+def test_aggregators_match_torch_oracle(graph_setup, agg):
+    from tests.oracle_torch import rspmm_oracle
+    import torch
+
+    graph, rng, d, b, x, boundary, query = graph_setup
+    in_mult = 13 if agg == "pna" else 2
+    params = make_layer_params(rng, d, graph.num_relations, in_mult=in_mult)
+    cfg = ConvConfig(
+        input_dim=d, output_dim=d, num_relation=graph.num_relations,
+        message_func="distmult", aggregate_func=agg,
+    )
+    out = conv_apply(params, cfg, graph, x, boundary, query=query)
+    assert out.shape == (graph.num_nodes, b, d)
+    assert np.isfinite(np.asarray(out)).all()
+
+    if agg == "max":
+        # cross-check the max aggregation against the torch oracle path
+        rel_t = torch.as_tensor(np.asarray(params["relation"]))[None].expand(b, -1, -1)
+        x_t = torch.as_tensor(np.asarray(x)).permute(1, 0, 2)
+        upd = rspmm_oracle(
+            np.asarray(graph.edge_index), np.asarray(graph.edge_type),
+            np.asarray(graph.edge_weight), rel_t, x_t, graph.num_nodes, "max", "mul",
+        )
+        upd = torch.maximum(upd, torch.as_tensor(np.asarray(boundary)).permute(1, 0, 2))
+        z = torch.cat([x_t, upd], dim=-1) @ torch.as_tensor(np.asarray(params["linear"]["w"])) \
+            + torch.as_tensor(np.asarray(params["linear"]["b"]))
+        z = torch.nn.functional.layer_norm(
+            z, (d,), torch.as_tensor(np.asarray(params["layer_norm"]["scale"])),
+            torch.as_tensor(np.asarray(params["layer_norm"]["bias"])),
+        ).relu()
+        np.testing.assert_allclose(
+            np.asarray(out), z.permute(1, 0, 2).numpy(), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_dependent_relations(graph_setup):
+    graph, rng, d, b, x, boundary, query = graph_setup
+    params = {
+        "linear": {
+            "w": jnp.asarray(rng.normal(size=(2 * d, d), scale=0.1).astype(np.float32)),
+            "b": jnp.zeros(d),
+        },
+        "layer_norm": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
+        "relation_linear": {
+            "w": jnp.asarray(rng.normal(size=(d, graph.num_relations * d), scale=0.1).astype(np.float32)),
+            "b": jnp.zeros(graph.num_relations * d),
+        },
+    }
+    cfg = ConvConfig(
+        input_dim=d, output_dim=d, num_relation=graph.num_relations,
+        dependent=True,
+    )
+    out = conv_apply(params, cfg, graph, x, boundary, query=query)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_concat_hidden_rel_nbfnet(graph_setup):
+    graph, rng, d, b, x, boundary, query = graph_setup
+    rel_graph = graph.relation_graph
+    cfg = NBFNetConfig(
+        input_dim=d, hidden_dims=(d, d), num_relation=4, concat_hidden=True
+    )
+    layers = [make_layer_params(rng, d, 4) for _ in range(2)]
+    feat = 3 * d  # sum(hidden) + input
+    params = {
+        "layers": layers,
+        "mlp": [
+            {"w": jnp.asarray(rng.normal(size=(feat, feat), scale=0.1).astype(np.float32)), "b": jnp.zeros(feat)},
+            {"w": jnp.asarray(rng.normal(size=(feat, d), scale=0.1).astype(np.float32)), "b": jnp.zeros(d)},
+        ],
+    }
+    out = rel_nbfnet_apply(params, cfg, rel_graph, jnp.asarray(np.array([0, 2])))
+    assert out.shape == (2, rel_graph.num_nodes, d)
+    assert np.isfinite(np.asarray(out)).all()

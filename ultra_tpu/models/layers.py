@@ -115,6 +115,29 @@ def layer_relation(params, cfg: ConvConfig, query=None, relation_input=None):
     return jnp.broadcast_to(rel[:, None, :], (rel.shape[0], b, rel.shape[1]))
 
 
+def _conv_rotate(params, cfg: ConvConfig, graph: Graph, input, boundary, relation):
+    """RotatE message (complex rotation, layers.py:142-147) with per-edge
+    materialization + segment reduction; sum aggregation only."""
+    if cfg.aggregate_func != "sum":
+        raise NotImplementedError("rotate currently supports sum aggregation")
+    src = graph.edge_index[1]
+    x_e = jnp.take(input, src, axis=0)  # (E, B, D)
+    r_e = jnp.take(relation, graph.edge_type, axis=0)
+    d = x_e.shape[-1] // 2
+    x_re, x_im = x_e[..., :d], x_e[..., d:]
+    r_re, r_im = r_e[..., :d], r_e[..., d:]
+    msg = jnp.concatenate(
+        [x_re * r_re - x_im * r_im, x_re * r_im + x_im * r_re], axis=-1
+    )
+    msg = msg * graph.edge_weight[:, None, None]
+    update = jax.ops.segment_sum(msg, graph.edge_index[0], num_segments=graph.num_nodes)
+    update = _combine(update, cfg.edge_axis) + boundary
+    output = linear(params["linear"], jnp.concatenate([input, update], axis=-1))
+    if cfg.layer_norm:
+        output = layer_norm(params["layer_norm"], output)
+    return _activation(cfg.activation, output)
+
+
 def conv_apply(
     params,
     cfg: ConvConfig,
@@ -132,10 +155,12 @@ def conv_apply(
     relation = layer_relation(params, cfg, query=query, relation_input=relation_input)
     mul = _MESSAGE2MUL.get(cfg.message_func)
     if mul is None:
-        raise NotImplementedError(
-            f"message_func {cfg.message_func!r} has no fused kernel (rotate is "
-            "only used by non-shipped configs; see tests/oracle for per-edge path)"
-        )
+        if cfg.message_func == "rotate":
+            # Per-edge (un-fused) path, mirroring the reference's fallback
+            # for rotate (layers.py:91-94,135-154). O(E*B*D) materialization;
+            # CPU-oriented (no shipped config uses rotate).
+            return _conv_rotate(params, cfg, graph, input, boundary, relation)
+        raise NotImplementedError(f"unknown message_func {cfg.message_func!r}")
     backend = cfg.rspmm_backend
 
     ax = cfg.edge_axis
