@@ -107,3 +107,47 @@ def test_model_forward_with_plans_matches_without(rng):
     graph_p = graph_p.replace(relation_graph=attach_plans(graph.relation_graph, rb=8, chunk=64))
     out = ultra_score_all(params, cfg, graph_p, h, r_index=r)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("sum_op", ["max", "min"])
+@pytest.mark.parametrize("mul_op", ["mul", "add"])
+def test_pallas_minmax_matches_xla(rng, sum_op, mul_op):
+    ei, et, ew, rel, x = make_inputs(rng, v=60, r=9, e=260)
+    # runtime-masked edges anywhere in the chunk stream
+    ew = np.ones(260, np.float32)
+    ew[rng.integers(0, 260, size=40)] = 0.0
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0],
+                       edge_weight=ew, pad_to=320)
+    graph = attach_plans(graph, rb=32, chunk=32)
+
+    out_p = rspmm_from_graph(graph, jnp.asarray(rel), jnp.asarray(x), sum=sum_op, mul=mul_op)
+    out_x = generalized_rspmm(
+        jnp.asarray(ei), jnp.asarray(et), jnp.asarray(ew),
+        jnp.asarray(rel), jnp.asarray(x), sum=sum_op, mul=mul_op, backend="xla",
+    )
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=2e-3, atol=2e-3)
+
+
+def test_pna_with_plans_runs(rng):
+    """PNA aggregation end-to-end on the planned (pallas) path."""
+    from ultra_tpu.models.layers import ConvConfig, conv_apply
+
+    ei, et, ew, rel, x = make_inputs(rng, v=40, r=5, e=150, b=2, d=8)
+    graph = make_graph(ei, et, num_nodes=40, num_relations=5, pad_to=192)
+    graph = attach_plans(graph, rb=16, chunk=32)
+    params = {
+        "linear": {
+            "w": jnp.asarray(rng.normal(size=(13 * 8, 8), scale=0.1).astype(np.float32)),
+            "b": jnp.zeros(8),
+        },
+        "layer_norm": {"scale": jnp.ones(8), "bias": jnp.zeros(8)},
+        "relation": jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32)),
+    }
+    cfg = ConvConfig(input_dim=8, output_dim=8, num_relation=5, aggregate_func="pna")
+    boundary = jnp.asarray(rng.normal(size=(40, 2, 8)).astype(np.float32))
+    out = conv_apply(params, cfg, graph, boundary, boundary,
+                     query=jnp.ones((2, 8), jnp.float32))
+    ref = conv_apply(params, cfg, graph.replace(plans=None), boundary, boundary,
+                     query=jnp.ones((2, 8), jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)

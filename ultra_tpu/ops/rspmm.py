@@ -308,11 +308,17 @@ def rspmm_from_graph(graph, relation, x, *, sum="add", mul="mul", backend="auto"
     sum, the Pallas kernel (with its own custom VJP) is used — the only
     viable TPU path, since XLA scatter does not scale there.
     """
-    if graph.plans is not None and sum == "add" and backend in ("auto", "pallas"):
-        from ultra_tpu.ops.rspmm_pallas import rspmm_pallas_sum
+    if graph.plans is not None and backend in ("auto", "pallas"):
+        if sum == "add":
+            from ultra_tpu.ops.rspmm_pallas import rspmm_pallas_sum
 
-        return rspmm_pallas_sum(
-            mul, graph.num_nodes, graph.plans, relation, x, graph.edge_weight
+            return rspmm_pallas_sum(
+                mul, graph.num_nodes, graph.plans, relation, x, graph.edge_weight
+            )
+        from ultra_tpu.ops.rspmm_pallas import rspmm_pallas_minmax
+
+        return rspmm_pallas_minmax(
+            graph.plans, relation, x, graph.edge_weight, mul, sum, graph.num_nodes
         )
     return generalized_rspmm(
         graph.edge_index,

@@ -109,7 +109,9 @@ def build_plan(
     n_red_blk = _round_up(num_nodes, rb_reduce) // rb_reduce
     n_gat_blk = _round_up(num_nodes, rb_gather) // rb_gather
     tile = (red // rb_reduce) * n_gat_blk + (gat // rb_gather)
-    order = np.argsort(tile, kind="stable")
+    # secondary sort by reduce id: chunks become segment-sorted, which the
+    # min/max kernels need for their segmented scans (sum is order-invariant)
+    order = np.lexsort((red, tile))
     tile_s = tile[order]
 
     # per-tile counts -> padded chunk layout
@@ -125,7 +127,10 @@ def build_plan(
     )
     slots = np.repeat(starts, counts) + within
 
-    local_reduce = np.zeros(total, dtype=np.int32)
+    # padding slots carry the sentinel reduce id rb_reduce: outside the
+    # one-hot width (no contribution) and keeps per-chunk reduce ids
+    # monotone, which the segmented min/max scan relies on
+    local_reduce = np.full(total, rb_reduce, dtype=np.int32)
     local_gather = np.zeros(total, dtype=np.int32)
     types = np.zeros(total, dtype=np.int32)
     if dead_slot is None:
@@ -153,7 +158,9 @@ def build_plan(
             reduce_blk = np.concatenate([reduce_blk, np.full(extra, last_rb, np.int32)])
             gather_blk = np.concatenate([gather_blk, np.full(extra, last_gb, np.int32)])
             pad_rows = extra * chunk
-            local_reduce = np.concatenate([local_reduce, np.zeros(pad_rows, np.int32)])
+            local_reduce = np.concatenate(
+                [local_reduce, np.full(pad_rows, rb_reduce, np.int32)]
+            )
             local_gather = np.concatenate([local_gather, np.zeros(pad_rows, np.int32)])
             types = np.concatenate([types, np.zeros(pad_rows, np.int32)])
             perm = np.concatenate([perm, np.full(pad_rows, dead_slot, np.int64)])
@@ -362,6 +369,141 @@ def rspmm_pallas_rel_grad(
       _pad8(plan.local_reduce), _pad8(w_plan),
       x_pad, g_pad)
     return out[:num_relations]
+
+
+_MINMAX_FILL = 1e38  # finite identity (matmul-safe; reference uses lowest/max)
+
+
+def _minmax_kernel(mul_op, is_min, c, rbr, rbg, acc_dtype,
+                   reduce_blk_ref, gather_blk_ref,
+                   lred_ref, lgat_ref, types_ref, w_ref,
+                   x_ref, rel_ref, out_ref):
+    """Segmented min/max per chunk: edges are sorted by local_reduce, so an
+    in-chunk Hillis-Steele segmented scan leaves each segment's extremum on
+    its last edge; a select-last one-hot matmul lands one value per output
+    row, combined into out_ref with min/max. Identity is +/-1e38 (finite so
+    0*identity stays 0 in the matmul), matching the reference's lowest/max
+    init (operator.cuh:44-60)."""
+    k = pl.program_id(1)
+    fill = _MINMAX_FILL if is_min else -_MINMAX_FILL
+
+    @pl.when((k == 0) | (reduce_blk_ref[k] != reduce_blk_ref[jnp.maximum(k - 1, 0)]))
+    def _init():
+        out_ref[:] = jnp.full_like(out_ref, fill)
+
+    row = jax.lax.rem(k, 8)
+    lgat = lgat_ref[pl.ds(row, 1), :][0]
+    lred = lred_ref[pl.ds(row, 1), :][0]
+    types = types_ref[pl.ds(row, 1), :][0]
+    w = w_ref[pl.ds(row, 1), :][0].astype(acc_dtype)
+
+    g = _onehot(lgat, rbg, x_ref.dtype)
+    xg = jnp.dot(g, x_ref[:], preferred_element_type=acc_dtype)
+    gt = _onehot(types, rel_ref.shape[0], rel_ref.dtype)
+    relg = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype)
+    msg = xg * relg if mul_op == "mul" else xg + relg
+    msg = msg * w[:, None]
+    live = (w != 0.0)
+    msg = jnp.where(live[:, None], msg, fill)
+
+    # segmented scan: combine with previous positions of the same segment
+    comb = jnp.minimum if is_min else jnp.maximum
+    lred2 = lred[:, None]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+    shift = 1
+    while shift < c:
+        rolled = pltpu.roll(msg, shift, 0)
+        lred_rolled = pltpu.roll(lred2, shift, 0)[:, 0]
+        same = (idx >= shift) & (lred_rolled == lred)
+        msg = comb(msg, jnp.where(same[:, None], rolled, fill))
+        shift *= 2
+
+    # last edge position of each segment (liveness-independent: the scan
+    # already neutralized masked edges, and an all-masked segment's fill
+    # value is a no-op under the final min/max combine)
+    lred_next = pltpu.roll(lred2, c - 1, 0)[:, 0]  # roll(-1) == roll(c-1)
+    is_last = (lred_next != lred) | (idx == c - 1)
+    sel = _onehot(lred, rbr, acc_dtype) * is_last.astype(acc_dtype)[:, None]
+    cand = jax.lax.dot_general(
+        sel, jnp.where(is_last[:, None], msg, 0.0),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )  # (RBr, F); rows without contribution are 0
+    has = jax.lax.dot_general(
+        sel, jnp.ones((c, 1), acc_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )  # (RBr, 1)
+    out_ref[:] = jnp.where(has > 0, comb(out_ref[:], cand), out_ref[:])
+
+
+def rspmm_pallas_minmax_fwd(
+    plan: PallasPlan,
+    relation: jax.Array,  # (R, F)
+    x: jax.Array,  # (N, F)
+    edge_weight_ext: jax.Array,
+    *,
+    mul: str = "mul",
+    is_min: bool = False,
+    f_block: int = 512,
+    out_rows: Optional[int] = None,
+) -> jax.Array:
+    """min/max-aggregation rspmm (forward only). Rows with no live edges hold
+    -/+1e38 (callers fold the boundary with max/min, layers.py:205-219)."""
+    n, f = x.shape
+    f_blk = min(f_block, f)
+    nf = f // f_blk
+    x_pad = jnp.pad(x, ((0, plan.n_gather_pad - n), (0, 0)))
+    rel_pad = jnp.pad(relation, ((0, plan.r_pad - relation.shape[0]), (0, 0)))
+    w_plan = jnp.take(edge_weight_ext, plan.perm, axis=0)
+    k, c = plan.num_chunks, plan.chunk
+
+    kernel = functools.partial(
+        _minmax_kernel, mul, is_min, c, plan.rb_reduce, plan.rb_gather, jnp.float32
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nf, k),
+            in_specs=[
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((plan.rb_gather, f_blk), lambda j, k, rb, gb: (gb[k], j)),
+                pl.BlockSpec((plan.r_pad, f_blk), lambda j, k, rb, gb: (0, j)),
+            ],
+            out_specs=pl.BlockSpec(
+                (plan.rb_reduce, f_blk), lambda j, k, rb, gb: (rb[k], j)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((plan.n_reduce_pad, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(plan.reduce_blk, plan.gather_blk,
+      _pad8(plan.local_reduce), _pad8(plan.local_gather),
+      _pad8(plan.types), _pad8(w_plan),
+      x_pad, rel_pad)
+    rows = out_rows if out_rows is not None else n
+    # convert the finite fill back to the +/-inf convention of the XLA path
+    sign = 1.0 if is_min else -1.0
+    outv = out[:rows]
+    return jnp.where(outv == sign * _MINMAX_FILL, sign * jnp.inf, outv)
+
+
+def rspmm_pallas_minmax(plans, relation, x, edge_weight, mul: str, sum_op: str, num_nodes: int):
+    """(V, B, D) wrapper; forward-only (no VJP — PNA training on TPU is a
+    later milestone; inference and the shipped sum configs are unaffected)."""
+    shape = x.shape
+    w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
+    out = rspmm_pallas_minmax_fwd(
+        plans.dst, _flatten(relation), _flatten(x), w_ext,
+        mul=mul, is_min=(sum_op == "min"), out_rows=num_nodes,
+    )
+    return out.reshape((num_nodes,) + shape[1:])
 
 
 # ---------------------------------------------------------------------------
