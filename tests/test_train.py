@@ -116,3 +116,31 @@ def test_perfect_model_gets_mrr_1(training_setup):
     mask = jnp.ones((2, graph.num_nodes), bool).at[jnp.arange(2), target].set(False)
     rank = compute_ranking(pred, target, mask)
     np.testing.assert_array_equal(np.asarray(rank), [1, 1])
+
+
+def test_remat_matches_no_remat(training_setup):
+    """jax.checkpoint'd layers must not change values or gradients."""
+    import jax
+    from ultra_tpu.train.loop import make_train_step
+
+    graph, ei, et, index, cfg, params = training_setup
+    cfg_remat = cfg.replace(
+        relation_model=cfg.relation_model.replace(remat=True),
+        entity_model=cfg.entity_model.replace(remat=True),
+    )
+    opt = make_optimizer(lr=1e-3)
+    rng = np.random.default_rng(5)
+    n_direct = ei.shape[1] // 2
+    triples = np.stack([ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]], axis=1)
+    batch = tasks.negative_sampling(index, triples[:4], num_negative=4, rng=rng)
+    ew = tasks.easy_edge_weights(index, batch, graph.num_edges_padded)
+
+    outs = []
+    for c in (cfg, cfg_remat):
+        step = make_train_step(c, opt, num_negative=4)
+        state = init_train_state(params, opt)
+        state, loss = step(state, graph, jnp.asarray(batch), jnp.asarray(ew))
+        outs.append((float(loss), state.params))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

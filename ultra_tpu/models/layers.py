@@ -162,41 +162,44 @@ def conv_apply(
             return _conv_rotate(params, cfg, graph, input, boundary, relation)
         raise NotImplementedError(f"unknown message_func {cfg.message_func!r}")
     backend = cfg.rspmm_backend
+    # replicated plan tables are inconsistent with shard-local edge arrays
+    use_plans = cfg.edge_axis is None
 
     ax = cfg.edge_axis
     if cfg.aggregate_func == "sum":
         update = _combine(
-            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend), ax
+            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend, use_plans=use_plans), ax
         )
         update = update + boundary
     elif cfg.aggregate_func == "mean":
         deg = _combine(degree(graph, include_self_loop=False), ax)[:, None, None] + 1.0
         update = _combine(
-            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend), ax
+            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend, use_plans=use_plans), ax
         )
         update = (update + boundary) / deg
     elif cfg.aggregate_func == "max":
         update = _combine(
-            rspmm_from_graph(graph, relation, input, sum="max", mul=mul, backend=backend),
+            rspmm_from_graph(graph, relation, input, sum="max", mul=mul, backend=backend, use_plans=use_plans),
             ax, "max",
         )
         update = jnp.maximum(update, boundary)
     elif cfg.aggregate_func == "pna":
         deg = _combine(degree(graph, include_self_loop=False), ax)[:, None, None] + 1.0
         sum_ = _combine(
-            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend), ax
+            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend, use_plans=use_plans), ax
         )
         sq_sum = _combine(
             rspmm_from_graph(
-                graph, jnp.square(relation), jnp.square(input), sum="add", mul=mul, backend=backend
+                graph, jnp.square(relation), jnp.square(input), sum="add", mul=mul,
+                backend=backend, use_plans=use_plans,
             ), ax
         )
         max_ = _combine(
-            rspmm_from_graph(graph, relation, input, sum="max", mul=mul, backend=backend),
+            rspmm_from_graph(graph, relation, input, sum="max", mul=mul, backend=backend, use_plans=use_plans),
             ax, "max",
         )
         min_ = _combine(
-            rspmm_from_graph(graph, relation, input, sum="min", mul=mul, backend=backend),
+            rspmm_from_graph(graph, relation, input, sum="min", mul=mul, backend=backend, use_plans=use_plans),
             ax, "min",
         )
         mean = (sum_ + boundary) / deg

@@ -41,6 +41,11 @@ class NBFNetConfig:
     project_relations: bool = False
     rspmm_backend: str = "auto"
     edge_axis: Optional[str] = None  # mesh axis for edge-partitioned rspmm
+    # rematerialize each conv layer in the backward pass: activations are
+    # O(V*B*D) per layer, so remat trades ~2x flops for 6x less live memory
+    # on large graphs (the TPU analog of the reference's O(V*d) memory
+    # argument, layers.py:184-186)
+    remat: bool = False
 
     @property
     def dims(self) -> Tuple[int, ...]:
@@ -97,7 +102,12 @@ def bellmanford(
     layer_input = boundary
     hiddens = []
     for i, layer_params in enumerate(params["layers"]):
-        hidden = conv_apply(
+        apply_fn = conv_apply
+        if cfg.remat:
+            apply_fn = jax.checkpoint(
+                conv_apply, static_argnums=(1,), policy=None
+            )
+        hidden = apply_fn(
             layer_params,
             cfg.conv_config(i),
             graph,

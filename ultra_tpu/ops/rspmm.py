@@ -301,14 +301,18 @@ def generalized_rspmm(
     )
 
 
-def rspmm_from_graph(graph, relation, x, *, sum="add", mul="mul", backend="auto"):
+def rspmm_from_graph(
+    graph, relation, x, *, sum="add", mul="mul", backend="auto", use_plans=True
+):
     """Convenience wrapper taking an ultra_tpu.graph.Graph.
 
-    When the graph carries precomputed Pallas plans and the aggregator is
-    sum, the Pallas kernel (with its own custom VJP) is used — the only
-    viable TPU path, since XLA scatter does not scale there.
+    When the graph carries precomputed Pallas plans, the Pallas kernel (with
+    its own custom VJP) is used — the only viable TPU path, since XLA scatter
+    does not scale there. ``use_plans=False`` forces the XLA backends (needed
+    under edge sharding, where plan tables are replicated but edge arrays are
+    shard-local).
     """
-    if graph.plans is not None and backend in ("auto", "pallas"):
+    if use_plans and graph.plans is not None and backend in ("auto", "pallas"):
         if sum == "add":
             from ultra_tpu.ops.rspmm_pallas import rspmm_pallas_sum
 
