@@ -144,3 +144,16 @@ def test_remat_matches_no_remat(training_setup):
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
     for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_cached_relation_eval_matches(training_setup):
+    """Precomputed relation representations must not change eval metrics."""
+    graph, ei, et, index, cfg, params = training_setup
+    n_direct = ei.shape[1] // 2
+    triples = np.stack([ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]], axis=1)[:12]
+    m1 = evaluate(params, cfg, graph, triples, index, batch_size=4,
+                  metrics=("mrr", "hits@3"), cache_relations=False)
+    m2 = evaluate(params, cfg, graph, triples, index, batch_size=4,
+                  metrics=("mrr", "hits@3"), cache_relations=True)
+    np.testing.assert_allclose(m1["mrr"], m2["mrr"], rtol=1e-5)
+    np.testing.assert_allclose(m1["hits@3"], m2["hits@3"], rtol=1e-5)

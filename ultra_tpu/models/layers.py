@@ -56,6 +56,9 @@ class ConvConfig:
     # set, rspmm results are partial per-shard aggregates and are combined
     # with a psum/pmax/pmin over this axis (inside shard_map).
     edge_axis: str | None = None
+    # cast rspmm operands (node states + relation table) to this dtype:
+    # "bfloat16" halves the kernel's gather traffic; accumulation stays f32
+    compute_dtype: str | None = None
 
 
 _MESSAGE2MUL = {"transe": "add", "distmult": "mul"}  # layers.py:16-19
@@ -164,6 +167,10 @@ def conv_apply(
     backend = cfg.rspmm_backend
     # replicated plan tables are inconsistent with shard-local edge arrays
     use_plans = cfg.edge_axis is None
+    if cfg.compute_dtype:
+        kdt = jnp.dtype(cfg.compute_dtype)
+        input = input.astype(kdt)
+        relation = relation.astype(kdt)
 
     ax = cfg.edge_axis
     if cfg.aggregate_func == "sum":

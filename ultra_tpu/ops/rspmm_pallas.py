@@ -606,7 +606,8 @@ def _bwd(mul, num_nodes, res, g):
     d_rel = rspmm_pallas_rel_grad(
         plans.dst, _flatten(x), g2, w_ext, relation.shape[0], mul=mul
     ).reshape(relation.shape)
-    return (None, d_rel, d_x, None)
+    # match primal dtypes (bf16 compute mode feeds bf16 operands)
+    return (None, d_rel.astype(relation.dtype), d_x.astype(x.dtype), None)
 
 
 rspmm_pallas_sum.defvjp(_fwd, _bwd)

@@ -421,6 +421,39 @@ class InductiveFB15k237QueryExtendedEval(InductiveFB15k237Query):
         )
 
 
+class JointQueryDataset:
+    """Multi-dataset query pretraining mixture (datasets_query.py:637-709 —
+    only partially wired in the reference; here each member loads fully and
+    training samples per-member batches like the KG JointDataset)."""
+
+    datasets_map = {
+        "FB15k237": FB15k237LogicalQuery,
+        "FB15k": FB15kLogicalQuery,
+        "NELL995": NELL995LogicalQuery,
+        **{
+            f"FB_{v}": (lambda root, v=v, **kw: InductiveFB15k237Query(root, v, **kw))
+            for v in (550, 300, 217, 175, 150, 134, 122, 113, 106)
+        },
+        **{
+            f"WT_{t}": (lambda root, t=t, **kw: WikiTopicsQuery(root, t, **kw))
+            for t in ("art", "award", "edu", "health", "infra", "loc", "org",
+                      "people", "sci", "sport", "tax")
+        },
+    }
+
+    def __init__(self, root, graphs: Sequence[str], **kwargs):
+        self.root = root
+        self.graph_names = list(graphs)
+        self.kwargs = kwargs
+
+    def load(self) -> List[QueryDataset]:
+        out = []
+        for g in self.graph_names:
+            ctor = self.datasets_map[g]
+            out.append(ctor(self.root, **self.kwargs).load())
+        return out
+
+
 QUERY_DATASETS = {
     "FB15kLogicalQuery": FB15kLogicalQuery,
     "FB15k237LogicalQuery": FB15k237LogicalQuery,
@@ -428,6 +461,7 @@ QUERY_DATASETS = {
     "InductiveFB15k237Query": InductiveFB15k237Query,
     "InductiveFB15k237QueryExtendedEval": InductiveFB15k237QueryExtendedEval,
     "WikiTopicsQuery": WikiTopicsQuery,
+    "JointQueryDataset": JointQueryDataset,
 }
 
 

@@ -38,6 +38,51 @@ def score_and_rank_batch(params, cfg: UltraConfig, graph: Graph, batch, t_mask, 
     return t_rank, h_rank
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _rel_reprs_chunk(params, cfg: UltraConfig, graph: Graph, rels):
+    from ultra_tpu.models.nbfnet import rel_nbfnet_apply
+
+    return rel_nbfnet_apply(
+        params["relation_model"], cfg.relation_model, graph.relation_graph, rels
+    )
+
+
+def precompute_relation_representations(params, cfg: UltraConfig, graph: Graph, chunk: int = 64):
+    """(R, R, D) relation-graph outputs for every possible query relation.
+
+    The relation model depends only on the query relation id (models.py:18-23),
+    so exhaustive evaluation can run it R times total instead of once per
+    batch — roughly halving per-batch GNN work. Chunked to bound memory.
+    """
+    r_total = graph.num_relations
+    outs = []
+    for start in range(0, r_total, chunk):
+        rels = jnp.arange(start, start + chunk, dtype=jnp.int32) % r_total
+        outs.append(_rel_reprs_chunk(params, cfg, graph, rels))
+    return jnp.concatenate(outs, axis=0)[:r_total]  # (R, R, D)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def score_and_rank_batch_cached(
+    params, cfg: UltraConfig, graph: Graph, rel_reprs_all, batch, t_mask, h_mask
+):
+    """score_and_rank_batch using precomputed (R, R, D) relation outputs."""
+    from ultra_tpu.models.nbfnet import entity_nbfnet_score_all
+
+    h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
+    num_direct = graph.num_relations // 2
+    rel_repr = jnp.take(rel_reprs_all, r, axis=0)  # (B, R, D)
+    t_pred = entity_nbfnet_score_all(
+        params["entity_model"], cfg.entity_model, graph, rel_repr, h, r
+    )
+    h_pred = entity_nbfnet_score_all(
+        params["entity_model"], cfg.entity_model, graph, rel_repr, t, r + num_direct
+    )
+    t_rank = tasks.compute_ranking(t_pred, t, t_mask)
+    h_rank = tasks.compute_ranking(h_pred, h, h_mask)
+    return t_rank, h_rank
+
+
 def evaluate(
     params,
     cfg: UltraConfig,
@@ -48,13 +93,27 @@ def evaluate(
     metrics: Iterable[str] = ("mr", "mrr", "hits@1", "hits@3", "hits@10"),
     limit: Optional[int] = None,  # fast_test subsampling (pretrain.py:244-254)
     rng: Optional[np.random.Generator] = None,
+    cache_relations: Optional[bool] = None,
 ) -> Dict[str, float]:
     """Full filtered evaluation; both prediction directions per triple
-    (run.py:134-153). Tail-only variants via 'metric-tail' names."""
+    (run.py:134-153). Tail-only variants via 'metric-tail' names.
+
+    ``cache_relations`` precomputes the relation-graph outputs for all R
+    query relations once (on by default when the eval set is large enough
+    to amortize the R/chunk precompute passes).
+    """
     trips = np.asarray(test_triples)
     if limit is not None and limit < len(trips):
         rng = rng or np.random.default_rng(0)
         trips = trips[rng.choice(len(trips), size=limit, replace=False)]
+
+    if cache_relations is None:
+        cache_relations = len(trips) / batch_size > graph.num_relations / 64
+    rel_reprs_all = (
+        precompute_relation_representations(params, cfg, graph)
+        if cache_relations
+        else None
+    )
 
     n = len(trips)
     pad_n = -(-n // batch_size) * batch_size
@@ -66,9 +125,15 @@ def evaluate(
         if valid < batch_size:  # pad last batch, drop padded results
             batch = np.concatenate([batch, np.repeat(batch[-1:], batch_size - valid, axis=0)])
         t_mask, h_mask = tasks.strict_negative_mask(filtered_index, batch)
-        t_rank, h_rank = score_and_rank_batch(
-            params, cfg, graph, jnp.asarray(batch), jnp.asarray(t_mask), jnp.asarray(h_mask)
-        )
+        if rel_reprs_all is not None:
+            t_rank, h_rank = score_and_rank_batch_cached(
+                params, cfg, graph, rel_reprs_all,
+                jnp.asarray(batch), jnp.asarray(t_mask), jnp.asarray(h_mask),
+            )
+        else:
+            t_rank, h_rank = score_and_rank_batch(
+                params, cfg, graph, jnp.asarray(batch), jnp.asarray(t_mask), jnp.asarray(h_mask)
+            )
         t_rank = np.asarray(t_rank)[:valid]
         h_rank = np.asarray(h_rank)[:valid]
         num_t_neg = t_mask.sum(axis=-1)[:valid]
