@@ -95,3 +95,69 @@ def test_sharded_train_step_matches_single_device(setup):
     flat_1 = jax.tree.leaves(state_1.params)
     for a, b in zip(flat_s, flat_1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5)
+
+
+def test_sharded_pallas_plans_match_single_device(setup):
+    """Edge-partitioned rspmm on the PALLAS path: stacked per-shard plans
+    inside shard_map must reproduce the single-device scores."""
+    from ultra_tpu.ops.rspmm_pallas import build_sharded_plans
+
+    graph, ei, et, index, cfg, params = setup
+    mesh = make_mesh(data=4, edge=2)
+    e = ei.shape[1]
+    e_pad = graph.num_edges_padded
+    host = (
+        np.pad(ei, ((0, 0), (0, e_pad - e))),
+        np.pad(et, (0, e_pad - e)),
+        np.pad(np.ones(e, np.float32), (0, e_pad - e)),
+    )
+    graph_sp = build_sharded_plans(graph, 2, rb=16, chunk=32, host_edges=host)
+    assert graph_sp.plans.num_shards == 2
+    assert graph_sp.plans.dst.reduce_blk.ndim == 2  # stacked
+
+    rng = np.random.default_rng(7)
+    b = 8
+    h = rng.integers(0, graph.num_nodes, size=b)
+    t = rng.integers(0, graph.num_nodes, size=b)
+    r = rng.integers(0, graph.num_relations // 2, size=b)
+    batch = jnp.asarray(np.stack([h, t, r], axis=1))
+
+    score_step = make_sharded_score_step(mesh, cfg, graph_sp)
+    t_pred, h_pred = score_step(params, graph_sp, batch)
+
+    t_ref = ultra_score_all(params, cfg, graph, batch[:, 0], r_index=batch[:, 2])
+    np.testing.assert_allclose(np.asarray(t_pred), np.asarray(t_ref), rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_pallas_train_step_matches(setup):
+    from ultra_tpu.ops.rspmm_pallas import build_sharded_plans
+
+    graph, ei, et, index, cfg, params = setup
+    mesh = make_mesh(data=4, edge=2)
+    e = ei.shape[1]
+    e_pad = graph.num_edges_padded
+    host = (
+        np.pad(ei, ((0, 0), (0, e_pad - e))),
+        np.pad(et, (0, e_pad - e)),
+        np.pad(np.ones(e, np.float32), (0, e_pad - e)),
+    )
+    graph_sp = build_sharded_plans(graph, 2, rb=16, chunk=32, host_edges=host)
+    opt = make_optimizer(lr=1e-3)
+
+    rng = np.random.default_rng(3)
+    n_direct = ei.shape[1] // 2
+    triples = np.stack([ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]], axis=1)
+    batch_triples = triples[rng.choice(len(triples), size=8, replace=False)]
+    batch = tasks.negative_sampling(index, batch_triples, num_negative=4, rng=rng)
+    ew = tasks.easy_edge_weights(index, batch, graph.num_edges_padded)
+
+    step = make_sharded_train_step(mesh, cfg, opt, graph_sp, num_negative=4)
+    state = init_train_state(params, opt)
+    state, loss_sp = step(state, graph_sp, jnp.asarray(batch), jnp.asarray(ew))
+
+    single = make_train_step(cfg, opt, num_negative=4)
+    state1 = init_train_state(params, opt)
+    state1, loss_1 = single(state1, graph, jnp.asarray(batch), jnp.asarray(ew))
+    np.testing.assert_allclose(float(loss_sp), float(loss_1), rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=5e-5)

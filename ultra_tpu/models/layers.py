@@ -56,6 +56,10 @@ class ConvConfig:
     # set, rspmm results are partial per-shard aggregates and are combined
     # with a psum/pmax/pmin over this axis (inside shard_map).
     edge_axis: str | None = None
+    # under edge sharding, set when the graph carries per-shard (stacked)
+    # pallas plans: the kernel then runs on each shard's local plan and the
+    # psum over edge_axis combines the partials
+    sharded_plans: bool = False
     # cast rspmm operands (node states + relation table) to this dtype:
     # "bfloat16" halves the kernel's gather traffic; accumulation stays f32
     compute_dtype: str | None = None
@@ -165,8 +169,9 @@ def conv_apply(
             return _conv_rotate(params, cfg, graph, input, boundary, relation)
         raise NotImplementedError(f"unknown message_func {cfg.message_func!r}")
     backend = cfg.rspmm_backend
-    # replicated plan tables are inconsistent with shard-local edge arrays
-    use_plans = cfg.edge_axis is None
+    # replicated plan tables are inconsistent with shard-local edge arrays;
+    # per-shard (stacked) plans are fine — the caller flags them
+    use_plans = cfg.edge_axis is None or cfg.sharded_plans
     if cfg.compute_dtype:
         kdt = jnp.dtype(cfg.compute_dtype)
         input = input.astype(kdt)

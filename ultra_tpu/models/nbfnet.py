@@ -41,6 +41,7 @@ class NBFNetConfig:
     project_relations: bool = False
     rspmm_backend: str = "auto"
     edge_axis: Optional[str] = None  # mesh axis for edge-partitioned rspmm
+    sharded_plans: bool = False  # graph carries per-shard stacked pallas plans
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for kernel operands
     # rematerialize each conv layer in the backward pass: activations are
     # O(V*B*D) per layer, so remat trades ~2x flops for 6x less live memory
@@ -65,6 +66,7 @@ class NBFNetConfig:
             project_relations=self.project_relations,
             rspmm_backend=self.rspmm_backend,
             edge_axis=self.edge_axis,
+            sharded_plans=self.sharded_plans,
             compute_dtype=self.compute_dtype,
         )
 

@@ -513,10 +513,17 @@ def rspmm_pallas_minmax(plans, relation, x, edge_weight, mul: str, sum_op: str, 
 
 @struct.dataclass
 class GraphPlans:
-    """Both traversal orders for a graph (built once on host)."""
+    """Both traversal orders for a graph (built once on host).
+
+    ``num_shards > 0`` marks the edge-sharded variant: every plan array has
+    an extra leading shard axis (sharded over the mesh 'edge' axis by
+    parallel.mesh.graph_pspec); inside shard_map each device sees its own
+    plain per-shard plan. The edge-weight vector stays replicated so the
+    global permutation indices remain valid on every shard."""
 
     dst: PallasPlan  # reduce over dst (forward, rel-grad)
     src: PallasPlan  # reduce over src (input-grad)
+    num_shards: int = struct.field(pytree_node=False, default=0)
 
     @classmethod
     def build(
@@ -538,6 +545,77 @@ class GraphPlans:
                 reduce_side="src", **kw,
             ),
         )
+
+
+def build_sharded_plans(
+    graph, n_shards: int, rb: int = 384, chunk: int = 128, host_edges=None
+):
+    """Edge-partition a graph's live edges into ``n_shards`` contiguous
+    groups and build a stacked GraphPlans (leading shard axis, common chunk
+    count). Each shard computes rspmm partials over its own edges; a psum
+    over the mesh edge axis combines them (models/layers.py _combine).
+
+    The scaling design of SURVEY.md §2.8: boundary-node partials ride ICI,
+    the graph no longer needs to fit one chip's working set.
+    """
+    if host_edges is not None:
+        ei, et, ew = (np.asarray(a) for a in host_edges)
+    else:
+        ei = np.asarray(jax.device_get(graph.edge_index))
+        et = np.asarray(jax.device_get(graph.edge_type))
+        ew = np.asarray(jax.device_get(graph.edge_weight))
+    live = np.nonzero(ew != 0.0)[0]
+    groups = np.array_split(live, n_shards)
+
+    per_shard = [
+        GraphPlans.build(
+            ei[:, g], et[g], graph.num_nodes, graph.num_relations,
+            rb=rb, chunk=chunk, edge_ids=g, dead_slot=graph.num_edges_padded,
+        )
+        for g in groups
+    ]
+    k_dst = max(p.dst.num_chunks for p in per_shard)
+    k_src = max(p.src.num_chunks for p in per_shard)
+    dead = graph.num_edges_padded
+    per_shard = [
+        p.replace(dst=pad_plan(p.dst, k_dst, dead), src=pad_plan(p.src, k_src, dead))
+        for p in per_shard
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *per_shard)
+    stacked = stacked.replace(num_shards=n_shards)
+    return graph.replace(plans=stacked)
+
+
+def pad_plan(plan: PallasPlan, k_target: int, dead_slot: int) -> PallasPlan:
+    """Append all-dead chunks (weights 0, sentinel reduce ids) up to
+    ``k_target`` — see build_plan's pad_chunks_to."""
+    k = plan.num_chunks
+    assert k_target >= k, (k_target, k)
+    if k_target == k:
+        return plan
+    extra = k_target - k
+    c = plan.chunk
+    last_rb = plan.reduce_blk[-1] if k else jnp.int32(0)
+    last_gb = plan.gather_blk[-1] if k else jnp.int32(0)
+    return plan.replace(
+        reduce_blk=jnp.concatenate(
+            [plan.reduce_blk, jnp.full((extra,), last_rb, jnp.int32)]
+        ),
+        gather_blk=jnp.concatenate(
+            [plan.gather_blk, jnp.full((extra,), last_gb, jnp.int32)]
+        ),
+        local_reduce=jnp.concatenate(
+            [plan.local_reduce, jnp.full((extra, c), plan.rb_reduce, jnp.int32)]
+        ),
+        local_gather=jnp.concatenate(
+            [plan.local_gather, jnp.zeros((extra, c), jnp.int32)]
+        ),
+        types=jnp.concatenate([plan.types, jnp.zeros((extra, c), jnp.int32)]),
+        perm=jnp.concatenate(
+            [plan.perm, jnp.full((extra, c), dead_slot, jnp.int32)]
+        ),
+        num_chunks=k_target,
+    )
 
 
 def attach_plans(graph, rb: int = 384, chunk: int = 128, host_edges=None,

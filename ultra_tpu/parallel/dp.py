@@ -32,10 +32,26 @@ from ultra_tpu.parallel.mesh import graph_pspec
 from ultra_tpu.train.loop import TrainState, self_adversarial_bce
 
 
-def _sharded_cfg(cfg: UltraConfig, edge_axis: Optional[str]) -> UltraConfig:
+def _local_plans(graph: Graph, plans_sharded: bool) -> Graph:
+    """Inside shard_map the stacked plan arrays arrive as (1, ...) slices —
+    drop the shard axis to recover plain per-shard plans."""
+    if not plans_sharded or graph.plans is None:
+        return graph
+    plans = jax.tree.map(lambda a: a[0], graph.plans)
+    plans = plans.replace(num_shards=0)
+    return graph.replace(plans=plans)
+
+
+def _sharded_cfg(
+    cfg: UltraConfig, edge_axis: Optional[str], sharded_plans: bool = False
+) -> UltraConfig:
     """Entity-graph convs combine over the edge axis; the relation graph is
     replicated so its convs do not."""
-    return cfg.replace(entity_model=cfg.entity_model.replace(edge_axis=edge_axis))
+    return cfg.replace(
+        entity_model=cfg.entity_model.replace(
+            edge_axis=edge_axis, sharded_plans=sharded_plans
+        )
+    )
 
 
 def make_sharded_train_step(
@@ -53,10 +69,15 @@ def make_sharded_train_step(
     batch: (B, 1+K, 3) global; B must divide the data-axis size.
     edge_weight: (E_pad,) easy-edge mask (tasks.easy_edge_weights).
     """
-    inner_cfg = _sharded_cfg(cfg, edge_axis)
+    plans_sharded = (
+        graph.plans is not None and getattr(graph.plans, "num_shards", 0) > 0
+    )
+    inner_cfg = _sharded_cfg(cfg, edge_axis, plans_sharded)
     gspec = graph_pspec(graph, edge_axis)
+    wspec = P() if plans_sharded else P(edge_axis)
 
     def local_loss(params, graph_shard: Graph, batch, edge_weight):
+        graph_shard = _local_plans(graph_shard, plans_sharded)
         graph_shard = graph_shard.replace(edge_weight=edge_weight)
         pred = ultra_apply(params, inner_cfg, graph_shard, batch)
         loss = self_adversarial_bce(pred, adversarial_temperature, num_negative)
@@ -65,7 +86,7 @@ def make_sharded_train_step(
     sharded_loss = shard_map(
         local_loss,
         mesh=mesh,
-        in_specs=(P(), gspec, P(data_axis), P(edge_axis)),
+        in_specs=(P(), gspec, P(data_axis), wspec),
         out_specs=P(),
         check_rep=False,
     )
@@ -90,10 +111,14 @@ def make_sharded_score_step(
     data_axis: str = "data",
 ):
     """Jitted sharded eval scorer: (params, graph, batch(B,3)) -> (B,V) x2."""
-    inner_cfg = _sharded_cfg(cfg, edge_axis)
+    plans_sharded = (
+        graph.plans is not None and getattr(graph.plans, "num_shards", 0) > 0
+    )
+    inner_cfg = _sharded_cfg(cfg, edge_axis, plans_sharded)
     gspec = graph_pspec(graph, edge_axis)
 
     def score(params, graph_shard: Graph, batch):
+        graph_shard = _local_plans(graph_shard, plans_sharded)
         h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
         num_direct = graph_shard.num_relations // 2
         t_pred = ultra_score_all(params, inner_cfg, graph_shard, h, r_index=r)

@@ -53,11 +53,21 @@ def graph_pspec(graph: Graph, edge_axis: Optional[str] = "edge"):
     sharded over the edge axis, relation graph replicated (<= ~R^2 edges)."""
     import jax.tree_util as jtu
 
+    plans_sharded = (
+        graph.plans is not None and getattr(graph.plans, "num_shards", 0) > 0
+    )
+
     def spec(path, leaf):
         names = [p.name for p in path if hasattr(p, "name")]
-        # relation graph is replicated; pallas plans are single-device
-        # bucketing tables (sharded-pallas support comes with its own plans)
-        if "relation_graph" in names or "plans" in names or edge_axis is None:
+        if "relation_graph" in names or edge_axis is None:
+            return P()
+        if "plans" in names:
+            # stacked per-shard plan tables shard on their leading axis;
+            # single-device plans are replicated (and unused under sharding)
+            return P(edge_axis) if plans_sharded else P()
+        if "edge_weight" in names and plans_sharded:
+            # the pallas path gathers weights through GLOBAL permutation
+            # indices, so the weight vector stays replicated
             return P()
         if "edge_index" in names:
             return P(None, edge_axis)
