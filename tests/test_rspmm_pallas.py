@@ -151,3 +151,31 @@ def test_pna_with_plans_runs(rng):
     ref = conv_apply(params, cfg, graph.replace(plans=None), boundary, boundary,
                      query=jnp.ones((2, 8), jnp.float32))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("sum_op", ["max", "min"])
+@pytest.mark.parametrize("mul_op", ["mul", "add"])
+def test_pallas_minmax_gradients_match_xla(rng, sum_op, mul_op):
+    ei, et, ew, rel, x = make_inputs(rng, v=50, r=7, e=180)
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0], pad_to=256)
+    graph = attach_plans(graph, rb=32, chunk=32)
+    rel_j, x_j = jnp.asarray(rel), jnp.asarray(x)
+
+    def loss_pallas(rel, x):
+        out = rspmm_from_graph(graph, rel, x, sum=sum_op, mul=mul_op)
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(rel, x):
+        out = generalized_rspmm(
+            jnp.asarray(ei), jnp.asarray(et), jnp.asarray(ew), rel, x,
+            sum=sum_op, mul=mul_op, backend="xla",
+        )
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+        return jnp.sum(jnp.sin(out))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(rel_j, x_j)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(rel_j, x_j)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)

@@ -494,9 +494,139 @@ def rspmm_pallas_minmax_fwd(
     return jnp.where(outv == sign * _MINMAX_FILL, sign * jnp.inf, outv)
 
 
+def _minmax_dx_kernel(mul_op, c, rbr, rbg, acc_dtype,
+                      reduce_blk_ref, gather_blk_ref,
+                      lred_ref, lgat_ref, types_ref, w_ref,
+                      xred_ref, g_ref, out_ref_in, rel_ref, dx_ref):
+    """d_x[src] += [w*m == out[dst]] * w * dBinary/dx * g[dst].
+
+    Runs on the src-major plan: reduce side = src (output rows of dx),
+    gather side = dst (g and the saved forward output)."""
+    k = pl.program_id(1)
+
+    @pl.when((k == 0) | (reduce_blk_ref[k] != reduce_blk_ref[jnp.maximum(k - 1, 0)]))
+    def _zero():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    row = jax.lax.rem(k, 8)
+    lred = lred_ref[pl.ds(row, 1), :][0]   # local src ids
+    lgat = lgat_ref[pl.ds(row, 1), :][0]   # local dst ids
+    types = types_ref[pl.ds(row, 1), :][0]
+    w = w_ref[pl.ds(row, 1), :][0].astype(acc_dtype)
+
+    g_sel = _onehot(lgat, rbg, g_ref.dtype)
+    g_rows = jnp.dot(g_sel, g_ref[:], preferred_element_type=acc_dtype)
+    out_rows = jnp.dot(g_sel, out_ref_in[:], preferred_element_type=acc_dtype)
+    x_sel = _onehot(lred, rbr, xred_ref.dtype)
+    x_rows = jnp.dot(x_sel, xred_ref[:], preferred_element_type=acc_dtype)
+    gt = _onehot(types, rel_ref.shape[0], rel_ref.dtype)
+    rel_rows = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype)
+
+    m = x_rows * rel_rows if mul_op == "mul" else x_rows + rel_rows
+    live = (w != 0.0)[:, None]
+    route = jnp.where((m * w[:, None] == out_rows) & live, 1.0, 0.0)
+    contrib = route * w[:, None] * g_rows
+    if mul_op == "mul":
+        contrib = contrib * rel_rows
+    s = _onehot(lred, rbr, acc_dtype)
+    dx_ref[:] += jax.lax.dot_general(
+        s, contrib, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )
+
+
+def _minmax_drel_kernel(mul_op, c, rbr, rbg, acc_dtype,
+                        reduce_blk_ref, gather_blk_ref,
+                        lred_ref, lgat_ref, types_ref, w_ref,
+                        xgat_ref, g_ref, out_ref_in, rel_ref, drel_ref):
+    """d_rel[type] += [w*m == out[dst]] * w * dBinary/drel * g[dst].
+
+    Runs on the dst-major plan: reduce side = dst (g/out gathered by it),
+    gather side = src (x); output is the resident (r_pad, F) block."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _zero():
+        drel_ref[:] = jnp.zeros_like(drel_ref)
+
+    row = jax.lax.rem(k, 8)
+    lred = lred_ref[pl.ds(row, 1), :][0]   # local dst ids
+    lgat = lgat_ref[pl.ds(row, 1), :][0]   # local src ids
+    types = types_ref[pl.ds(row, 1), :][0]
+    w = w_ref[pl.ds(row, 1), :][0].astype(acc_dtype)
+
+    d_sel = _onehot(lred, rbr, g_ref.dtype)
+    g_rows = jnp.dot(d_sel, g_ref[:], preferred_element_type=acc_dtype)
+    out_rows = jnp.dot(d_sel, out_ref_in[:], preferred_element_type=acc_dtype)
+    x_sel = _onehot(lgat, rbg, xgat_ref.dtype)
+    x_rows = jnp.dot(x_sel, xgat_ref[:], preferred_element_type=acc_dtype)
+    gt = _onehot(types, rel_ref.shape[0], rel_ref.dtype)
+    rel_rows = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype)
+
+    m = x_rows * rel_rows if mul_op == "mul" else x_rows + rel_rows
+    live = (w != 0.0)[:, None]
+    route = jnp.where((m * w[:, None] == out_rows) & live, 1.0, 0.0)
+    contrib = route * w[:, None] * g_rows
+    if mul_op == "mul":
+        contrib = contrib * x_rows
+    drel_ref[:] += jax.lax.dot_general(
+        gt.astype(acc_dtype), contrib,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )
+
+
+def _minmax_bwd_call(kernel_fn, plan, x_side, g, out_fwd, rel, w_plan,
+                     out_rows_padded, out_rows, f, f_blk, resident_out=False,
+                     r_pad=None):
+    """Shared pallas_call plumbing for the two min/max backward kernels."""
+    nf = f // f_blk
+    k, c = plan.num_chunks, plan.chunk
+    if resident_out:
+        out_spec = pl.BlockSpec((r_pad, f_blk), lambda j, k, rb, gb: (0, j))
+        out_shape = jax.ShapeDtypeStruct((r_pad, f), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec(
+            (plan.rb_reduce, f_blk), lambda j, k, rb, gb: (rb[k], j)
+        )
+        out_shape = jax.ShapeDtypeStruct((plan.n_reduce_pad, f), jnp.float32)
+    out = pl.pallas_call(
+        kernel_fn,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nf, k),
+            in_specs=[
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((plan.rb_reduce, f_blk), lambda j, k, rb, gb: (rb[k], j)),
+                pl.BlockSpec((plan.rb_gather, f_blk), lambda j, k, rb, gb: (gb[k], j)),
+                pl.BlockSpec((plan.rb_gather, f_blk), lambda j, k, rb, gb: (gb[k], j)),
+                pl.BlockSpec((plan.r_pad, f_blk), lambda j, k, rb, gb: (0, j)),
+            ],
+            out_specs=out_spec,
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(plan.reduce_blk, plan.gather_blk,
+      _pad8(plan.local_reduce), _pad8(plan.local_gather),
+      _pad8(plan.types), _pad8(w_plan),
+      x_side, g, out_fwd, rel)
+    return out
+
+
 def rspmm_pallas_minmax(plans, relation, x, edge_weight, mul: str, sum_op: str, num_nodes: int):
-    """(V, B, D) wrapper; forward-only (no VJP — PNA training on TPU is a
-    later milestone; inference and the shipped sum configs are unaffected)."""
+    """(V, B, D) min/max rspmm with tie-routed custom VJP
+    (operator.cuh:62-77 semantics: every tying edge receives the gradient)."""
+    return _minmax_vjp(mul, sum_op, num_nodes, plans, relation, x, edge_weight)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _minmax_vjp(mul, sum_op, num_nodes, plans, relation, x, edge_weight):
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
     out = rspmm_pallas_minmax_fwd(
@@ -504,6 +634,94 @@ def rspmm_pallas_minmax(plans, relation, x, edge_weight, mul: str, sum_op: str, 
         mul=mul, is_min=(sum_op == "min"), out_rows=num_nodes,
     )
     return out.reshape((num_nodes,) + shape[1:])
+
+
+def _minmax_vjp_fwd(mul, sum_op, num_nodes, plans, relation, x, edge_weight):
+    out = _minmax_vjp(mul, sum_op, num_nodes, plans, relation, x, edge_weight)
+    return out, (plans, relation, x, edge_weight, out)
+
+
+def _minmax_vjp_bwd(mul, sum_op, num_nodes, res, g):
+    plans, relation, x, edge_weight, out_fwd = res
+    f = int(np.prod(x.shape[1:]))
+    f_blk = min(512, f)
+    w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
+    g2 = _flatten(g).astype(jnp.float32)
+    # the saved output holds +/-inf on empty rows; restore the finite fill so
+    # the equality routing (m * w == out) never sees inf inside the kernel
+    sign = 1.0 if sum_op == "min" else -1.0
+    out2 = _flatten(out_fwd)
+    out2 = jnp.where(jnp.isinf(out2), sign * _MINMAX_FILL, out2)
+
+    # d_x on the src-major plan
+    p = plans.src
+    x_red = jnp.pad(_flatten(x), ((0, p.n_reduce_pad - x.shape[0]), (0, 0)))
+    g_gat = jnp.pad(g2, ((0, p.n_gather_pad - g2.shape[0]), (0, 0)))
+    out_gat = jnp.pad(out2, ((0, p.n_gather_pad - out2.shape[0]), (0, 0)))
+    rel_pad = jnp.pad(
+        _flatten(relation), ((0, p.r_pad - relation.shape[0]), (0, 0))
+    )
+    w_plan = jnp.take(w_ext, p.perm, axis=0)
+    kern = functools.partial(
+        _minmax_dx_kernel, mul, p.chunk, p.rb_reduce, p.rb_gather, jnp.float32
+    )
+    d_x = _minmax_bwd_call(
+        kern, p, x_red, g_gat, out_gat, rel_pad, w_plan,
+        p.n_reduce_pad, x.shape[0], f, f_blk,
+    )[: x.shape[0]].reshape(x.shape)
+
+    # d_rel on the dst-major plan (resident relation-sized output)
+    p = plans.dst
+    x_gat = jnp.pad(_flatten(x), ((0, p.n_gather_pad - x.shape[0]), (0, 0)))
+    g_red = jnp.pad(g2, ((0, p.n_reduce_pad - g2.shape[0]), (0, 0)))
+    out_red = jnp.pad(out2, ((0, p.n_reduce_pad - out2.shape[0]), (0, 0)))
+    rel_pad = jnp.pad(
+        _flatten(relation), ((0, p.r_pad - relation.shape[0]), (0, 0))
+    )
+    w_plan = jnp.take(w_ext, p.perm, axis=0)
+    kern = functools.partial(
+        _minmax_drel_kernel, mul, p.chunk, p.rb_reduce, p.rb_gather, jnp.float32
+    )
+
+    # drel kernel gathers g/out by the REDUCE side: reuse the gather specs by
+    # passing (x by gather side) and (g, out by reduce side) in the right slots
+    d_rel = _drel_call(kern, p, x_gat, g_red, out_red, rel_pad, w_plan, f, f_blk)
+    d_rel = d_rel[: relation.shape[0]].reshape(relation.shape)
+    return (None, d_rel.astype(relation.dtype), d_x.astype(x.dtype), None)
+
+
+def _drel_call(kernel_fn, plan, x_gat, g_red, out_red, rel, w_plan, f, f_blk):
+    nf = f // f_blk
+    k, c = plan.num_chunks, plan.chunk
+    return pl.pallas_call(
+        kernel_fn,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nf, k),
+            in_specs=[
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((plan.rb_gather, f_blk), lambda j, k, rb, gb: (gb[k], j)),
+                pl.BlockSpec((plan.rb_reduce, f_blk), lambda j, k, rb, gb: (rb[k], j)),
+                pl.BlockSpec((plan.rb_reduce, f_blk), lambda j, k, rb, gb: (rb[k], j)),
+                pl.BlockSpec((plan.r_pad, f_blk), lambda j, k, rb, gb: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((plan.r_pad, f_blk), lambda j, k, rb, gb: (0, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((plan.r_pad, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(plan.reduce_blk, plan.gather_blk,
+      _pad8(plan.local_reduce), _pad8(plan.local_gather),
+      _pad8(plan.types), _pad8(w_plan),
+      x_gat, g_red, out_red, rel)
+
+
+_minmax_vjp.defvjp(_minmax_vjp_fwd, _minmax_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -115,6 +115,51 @@ def to_readable(query: np.ndarray) -> str:
     return "\n".join(lines)
 
 
+def computation_graph(query: np.ndarray):
+    """Computation-graph layout of one postfix program, for visualization
+    (port of query_utils.py:111-164). Returns (pointer, depth, left, right):
+    pointer[i] = index of the operator consuming op i's output (-1 for the
+    root/unused); depth[i] = height in the tree; [left, right) = the span of
+    leaf operands each operator covers."""
+    q = np.asarray(query, dtype=np.int64)
+    n = len(q)
+    pointer = np.full(n, -1, dtype=np.int64)
+    depth = np.full(n, -1, dtype=np.int64)
+    width = np.full(n, -1, dtype=np.int64)
+    stack: List[int] = []
+    for i, op in enumerate(q):
+        op = int(op)
+        if not op & OPERATION:
+            stack.append(i)
+            depth[i], width[i] = 0, 1
+        elif op & (PROJECTION | NEGATION):
+            prev = stack.pop()
+            pointer[prev] = i
+            depth[i] = depth[prev] + 1
+            width[i] = width[prev]
+            stack.append(i)
+        elif op & (INTERSECTION | UNION):
+            prev_y, prev_x = stack.pop(), stack.pop()
+            pointer[prev_y] = i
+            pointer[prev_x] = i
+            depth[i] = max(depth[prev_x], depth[prev_y]) + 1
+            width[i] = width[prev_x] + width[prev_y]
+            stack.append(i)
+        elif op & STOP:
+            break
+    left = np.where(depth > 0, 0, -1)
+    right = np.where(depth > 0, int(width.max()), -1)
+    for i in reversed(range(n)):
+        if pointer[i] == -1:
+            continue
+        ptr = pointer[i]
+        depth[i] = depth[ptr] - 1
+        left[i] = left[ptr] + width[ptr] - width[i]
+        right[i] = left[i] + width[i]
+        width[ptr] -= width[i]
+    return pointer, depth, left, right
+
+
 def num_projections(query: np.ndarray) -> int:
     q = np.asarray(query, dtype=np.int64)
     return int(((q & PROJECTION) > 0).sum())
