@@ -403,29 +403,31 @@ def _minmax_kernel(mul_op, is_min, c, rbr, rbg, acc_dtype,
     relg = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype)
     msg = xg * relg if mul_op == "mul" else xg + relg
     msg = msg * w[:, None]
-    live = (w != 0.0)
-    msg = jnp.where(live[:, None], msg, fill)
+    # NOTE: all masks stay 2D — Mosaic cannot reshape 1-bit (bool) vectors
+    live2 = w[:, None] != 0.0  # (C, 1)
+    msg = jnp.where(live2, msg, fill)
 
     # segmented scan: combine with previous positions of the same segment
     comb = jnp.minimum if is_min else jnp.maximum
     lred2 = lred[:, None]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+    idx2 = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
     shift = 1
     while shift < c:
         rolled = pltpu.roll(msg, shift, 0)
-        lred_rolled = pltpu.roll(lred2, shift, 0)[:, 0]
-        same = (idx >= shift) & (lred_rolled == lred)
-        msg = comb(msg, jnp.where(same[:, None], rolled, fill))
+        lred_rolled2 = pltpu.roll(lred2, shift, 0)
+        same2 = (idx2 >= shift) & (lred_rolled2 == lred2)
+        msg = comb(msg, jnp.where(same2, rolled, fill))
         shift *= 2
 
     # last edge position of each segment (liveness-independent: the scan
     # already neutralized masked edges, and an all-masked segment's fill
     # value is a no-op under the final min/max combine)
-    lred_next = pltpu.roll(lred2, c - 1, 0)[:, 0]  # roll(-1) == roll(c-1)
-    is_last = (lred_next != lred) | (idx == c - 1)
-    sel = _onehot(lred, rbr, acc_dtype) * is_last.astype(acc_dtype)[:, None]
+    lred_next2 = pltpu.roll(lred2, c - 1, 0)  # roll(-1) == roll(c-1)
+    is_last2 = (lred_next2 != lred2) | (idx2 == c - 1)  # (C, 1)
+    is_last_f = jnp.where(is_last2, 1.0, 0.0).astype(acc_dtype)
+    sel = _onehot(lred, rbr, acc_dtype) * is_last_f
     cand = jax.lax.dot_general(
-        sel, jnp.where(is_last[:, None], msg, 0.0),
+        sel, jnp.where(is_last2, msg, 0.0),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=acc_dtype,
     )  # (RBr, F); rows without contribution are 0
@@ -523,8 +525,8 @@ def _minmax_dx_kernel(mul_op, c, rbr, rbg, acc_dtype,
     rel_rows = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype)
 
     m = x_rows * rel_rows if mul_op == "mul" else x_rows + rel_rows
-    live = (w != 0.0)[:, None]
-    route = jnp.where((m * w[:, None] == out_rows) & live, 1.0, 0.0)
+    live2 = w[:, None] != 0.0
+    route = jnp.where((m * w[:, None] == out_rows) & live2, 1.0, 0.0)
     contrib = route * w[:, None] * g_rows
     if mul_op == "mul":
         contrib = contrib * rel_rows
@@ -564,8 +566,8 @@ def _minmax_drel_kernel(mul_op, c, rbr, rbg, acc_dtype,
     rel_rows = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype)
 
     m = x_rows * rel_rows if mul_op == "mul" else x_rows + rel_rows
-    live = (w != 0.0)[:, None]
-    route = jnp.where((m * w[:, None] == out_rows) & live, 1.0, 0.0)
+    live2 = w[:, None] != 0.0
+    route = jnp.where((m * w[:, None] == out_rows) & live2, 1.0, 0.0)
     contrib = route * w[:, None] * g_rows
     if mul_op == "mul":
         contrib = contrib * x_rows
