@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_RSPMM_EDGES_PER_SEC = 2.5e8
+RTX3090_RSPMM_EDGES_PER_SEC = 1.6e8  # reference benchmark hardware estimate
+A100_RSPMM_EDGES_PER_SEC = 3.3e8  # scale-up diagnostic estimate
 
 # FB15k-237 shape: 14,541 entities; 272,115 train triples -> 544,230 edges
 # with inverses; 237 direct relations (474 with inverses).
@@ -70,7 +71,25 @@ def main():
     et_p = np.concatenate([et, np.zeros(pad, np.int64)])
     ew_p = np.concatenate([np.ones(e_live, np.float32), np.zeros(pad, np.float32)])
 
-    graph = make_graph(ei, et, num_nodes=V, num_relations=2 * R_DIRECT, pad_to=e_pad)
+    from ultra_tpu import tasks
+
+    rel_ei, rel_et = tasks.build_relation_graph_arrays(ei, et, V, 2 * R_DIRECT)
+    rel_e_pad = pad_bucket(rel_ei.shape[1], 1024)
+    rel_graph = make_graph(
+        rel_ei, rel_et, num_nodes=2 * R_DIRECT, num_relations=4, pad_to=rel_e_pad
+    )
+    rel_graph = attach_plans(
+        rel_graph, rb=128, chunk=128,
+        host_edges=(
+            np.pad(rel_ei, ((0, 0), (0, rel_e_pad - rel_ei.shape[1]))),
+            np.pad(rel_et, (0, rel_e_pad - rel_et.shape[0])),
+            np.pad(np.ones(rel_et.shape[0], np.float32), (0, rel_e_pad - rel_et.shape[0])),
+        ),
+    )
+    graph = make_graph(
+        ei, et, num_nodes=V, num_relations=2 * R_DIRECT, pad_to=e_pad,
+        relation_graph=rel_graph,
+    )
     t0 = time.perf_counter()
     graph = attach_plans(graph, rb=384, chunk=128, host_edges=(ei_p, et_p, ew_p))
     k = graph.plans.dst.num_chunks
@@ -91,6 +110,33 @@ def main():
     ms = chained_ms(step, x0)
     eps = e_live / (ms / 1e3)
     log(f"rspmm[pallas]: {ms:.2f} ms/call, {eps/1e6:.1f} M edges/s")
+    log(f"  vs RTX3090 est ({RTX3090_RSPMM_EDGES_PER_SEC/1e6:.0f}M): "
+        f"{eps/RTX3090_RSPMM_EDGES_PER_SEC:.2f}x | "
+        f"vs A100 est ({A100_RSPMM_EDGES_PER_SEC/1e6:.0f}M): "
+        f"{eps/A100_RSPMM_EDGES_PER_SEC:.2f}x")
+
+    # e2e diagnostic: full Ultra forward (12 GNN layers) with real weights
+    try:
+        import os.path
+
+        from ultra_tpu.models.nbfnet import UltraConfig, ultra_score_all
+        from ultra_tpu.utils.torch_ckpt import convert_ultra_checkpoint, to_jax
+
+        ckpt = "/root/reference/ckpts/ultra_3g.pth"
+        if os.path.exists(ckpt):
+            params = to_jax(convert_ultra_checkpoint(ckpt))
+            cfg = UltraConfig()
+            h = jnp.asarray(np.arange(B))
+            rr = jnp.asarray(np.arange(B) % (2 * R_DIRECT))
+
+            def fwd_step(x):
+                out = ultra_score_all(params, cfg, graph, h, r_index=rr)
+                return x + jnp.sum(out)[None] * 1e-6
+
+            fms = chained_ms(fwd_step, jnp.zeros((1,)), iters=4)
+            log(f"ultra fwd (B=8, all-node scores, ultra_3g): {fms:.1f} ms")
+    except Exception as exc:  # noqa: BLE001
+        log(f"e2e diagnostic skipped: {type(exc).__name__}: {exc}")
 
     print(
         json.dumps(
@@ -98,7 +144,7 @@ def main():
                 "metric": "rspmm_edges_per_sec_chip",
                 "value": round(eps, 1),
                 "unit": "edges/s",
-                "vs_baseline": round(eps / A100_RSPMM_EDGES_PER_SEC, 3),
+                "vs_baseline": round(eps / RTX3090_RSPMM_EDGES_PER_SEC, 3),
             }
         ),
         flush=True,

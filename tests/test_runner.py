@@ -82,3 +82,23 @@ def test_zero_shot_path(toy_registered, tmp_path):
     }
     results = runner.run_link_prediction(cfg, str(tmp_path / "w2"), seed=0, with_plans=False)
     assert "mrr" in results["test"]
+
+
+def test_resume_from_checkpoint(toy_registered, tmp_path):
+    """Training resumes with full optimizer state from a saved epoch ckpt."""
+    cfg = {
+        "dataset": {"class": "ToyRun", "root": toy_registered},
+        "model": small_model_cfg(),
+        "task": {"name": "TransductiveInference", "num_negative": 4,
+                 "strict_negative": True, "adversarial_temperature": 1,
+                 "metric": ["mrr"]},
+        "optimizer": {"lr": 1e-3},
+        "train": {"batch_size": 4, "num_epoch": 1, "batch_per_epoch": 3},
+    }
+    w1 = str(tmp_path / "w1")
+    runner.run_link_prediction(cfg, w1, seed=0, with_plans=False)
+    ckpts = [f for f in os.listdir(w1) if f.startswith("model_epoch_")]
+    assert ckpts
+    cfg["resume_from"] = os.path.join(w1, sorted(ckpts)[-1])
+    results = runner.run_link_prediction(cfg, str(tmp_path / "w2"), seed=1, with_plans=False)
+    assert 0.0 < results["test"]["mrr"] <= 1.0

@@ -337,6 +337,17 @@ def rspmm_from_graph(
     )
 
 
+def spmm_max(edge_index, value, m: int, n: int, matrix) -> Array:
+    """torch_sparse-style SpMM with max aggregation (query_utils.py:433-466):
+    out[row] = max_col value[e] * matrix[col]. Used by symbolic traversal
+    (host boolean path in query/executor.py; this device version completes
+    the public API)."""
+    row, col = edge_index[0], edge_index[1]
+    matrix = matrix if matrix.ndim > 1 else matrix[:, None]
+    msg = jnp.take(matrix, col, axis=0) * value[:, None]
+    return jax.ops.segment_max(msg, row, num_segments=m)
+
+
 def degree(graph, *, include_self_loop: bool = True) -> Array:
     """Live in-degree per output row (+1 for the implicit boundary self-loop,
     matching ``degree_out = degree(index) + 1`` at ``layers.py:193``)."""

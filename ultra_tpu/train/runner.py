@@ -156,6 +156,19 @@ def train_and_validate(
 
     optimizer = make_optimizer(lr=float(cfg["optimizer"].get("lr", 5e-4)))
     state = init_train_state(params, optimizer)
+    resume_from = cfg.get("resume_from")
+    if resume_from:
+        # full optimizer-state resume of an interrupted run — the reference
+        # only reloads model weights (SURVEY.md §5 checkpoint/resume gap)
+        tree = ckpt_lib.load_pytree(
+            resume_from, like={"params": state.params, "opt_state": state.opt_state}
+        )
+        state = TrainState(
+            jax.tree.map(jnp.asarray, tree["params"]),
+            jax.tree.map(jnp.asarray, tree["opt_state"]),
+            state.step,
+        )
+        logger.warning("resumed train state from %s", resume_from)
     step_fn = make_train_step(
         ultra_cfg, optimizer, adversarial_temperature=adv_temp, num_negative=num_negative
     )
