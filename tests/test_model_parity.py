@@ -164,3 +164,16 @@ def test_head_corruption_tail_conversion(setup):
     )
     expect = np.take_along_axis(np.asarray(inv_scores), h_cands, axis=1)
     np.testing.assert_allclose(np.asarray(scores), expect, rtol=1e-5, atol=1e-6)
+
+
+def test_ultraquery_checkpoint_converts():
+    """ultraquery.pth nests weights under model.model.* (run_query.py:226-233)."""
+    import os
+    path = "/root/reference/ckpts/ultraquery.pth"
+    if not os.path.exists(path):
+        pytest.skip("no ckpt")
+    p = convert_ultra_checkpoint(path)
+    assert len(p["relation_model"]["layers"]) == 6
+    assert len(p["entity_model"]["layers"]) == 6
+    assert len(p["entity_model"]["mlp"]) == 2
+    assert p["relation_model"]["layers"][0]["relation"].shape == (4, 64)

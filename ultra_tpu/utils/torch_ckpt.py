@@ -32,9 +32,11 @@ def _to_numpy_state_dict(path: str) -> Dict[str, np.ndarray]:
 
     state = torch.load(path, map_location="cpu", weights_only=False)
     sd = state["model"] if isinstance(state, dict) and "model" in state else state
-    # UltraQuery nesting: model.model.*
-    if any(k.startswith("model.") for k in sd):
-        sd = {k[len("model.") :]: v for k, v in sd.items() if k.startswith("model.")}
+    # UltraQuery nests the Ultra weights under model.model.* (RelationProjection
+    # wraps Ultra wraps the nbfnets; run_query.py:226-233) — strip every
+    # uniform "model." prefix level
+    while sd and all(k.startswith("model.") for k in sd):
+        sd = {k[len("model.") :]: v for k, v in sd.items()}
     return {k: v.detach().cpu().numpy() for k, v in sd.items()}
 
 
