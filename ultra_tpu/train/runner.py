@@ -187,6 +187,9 @@ def train_and_validate(
     steps_per_epoch = batch_per_epoch or math.ceil(len(triples) / batch_size)
     epoch_block = math.ceil(num_epoch / 10)
     fast_valid = train_cfg.get("fast_test")
+    # crash resilience: periodic step-level checkpoint (resume_from target);
+    # the reference only checkpoints at epoch blocks (run.py:97-104)
+    ckpt_interval = train_cfg.get("checkpoint_interval_steps")
 
     epoch = 0
     for block_start in range(0, num_epoch, epoch_block):
@@ -210,6 +213,11 @@ def train_and_validate(
                     state, train_graph, jnp.asarray(batch), jnp.asarray(ew)
                 )
                 losses.append(loss)
+                if ckpt_interval and (step + 1) % int(ckpt_interval) == 0:
+                    ckpt_lib.save_pytree(
+                        os.path.join(workdir, "model_latest"),
+                        {"params": state.params, "opt_state": state.opt_state},
+                    )
             losses = [float(l) for l in losses]
             logger.warning(
                 "epoch %d: avg bce %.6f (%.1fs, %d steps)",
