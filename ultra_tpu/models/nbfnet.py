@@ -43,6 +43,10 @@ class NBFNetConfig:
     edge_axis: Optional[str] = None  # mesh axis for edge-partitioned rspmm
     sharded_plans: bool = False  # graph carries per-shard stacked pallas plans
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for kernel operands
+    # roll homogeneous layer stacks into one lax.scan: ~L-fold smaller traces
+    # and compile times (important over the remote-compile tunnel); falls back
+    # to the unrolled loop for heterogeneous dims or concat_hidden
+    scan_layers: bool = True
     # rematerialize each conv layer in the backward pass: activations are
     # O(V*B*D) per layer, so remat trades ~2x flops for 6x less live memory
     # on large graphs (the TPU analog of the reference's O(V*d) memory
@@ -92,6 +96,19 @@ def scatter_boundary(h_index: jax.Array, query: jax.Array, num_nodes: int) -> ja
     return boundary.at[h_index, jnp.arange(b)].add(query)
 
 
+def _layers_homogeneous(params, cfg: NBFNetConfig) -> bool:
+    layers = params["layers"]
+    if len(layers) < 2 or len(set(cfg.dims)) != 1:
+        return False
+    t0 = jax.tree.structure(layers[0])
+    s0 = [jnp.shape(l) for l in jax.tree.leaves(layers[0])]
+    return all(
+        jax.tree.structure(l) == t0
+        and [jnp.shape(x) for x in jax.tree.leaves(l)] == s0
+        for l in layers[1:]
+    )
+
+
 def bellmanford(
     params: dict,
     cfg: NBFNetConfig,
@@ -102,15 +119,34 @@ def bellmanford(
 ):
     """Shared Bellman-Ford iteration (base_nbfnet.py:88-128): run every conv
     layer with the *original* boundary condition, residual short-cuts between
-    equal-width layers. Returns all hidden states (for concat_hidden)."""
+    equal-width layers. Returns all hidden states (for concat_hidden).
+
+    Homogeneous layer stacks (the flagship 6x64 configs) run as one lax.scan
+    over stacked parameters — one conv trace instead of L.
+    """
+    apply_fn = conv_apply
+    if cfg.remat:
+        apply_fn = jax.checkpoint(conv_apply, static_argnums=(1,), policy=None)
+
+    if cfg.scan_layers and _layers_homogeneous(params, cfg):
+        ccfg = cfg.conv_config(0)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+
+        def body(layer_input, layer_params):
+            hidden = apply_fn(
+                layer_params, ccfg, graph, layer_input, boundary,
+                query=query, relation_input=relation_input,
+            )
+            if cfg.short_cut:
+                hidden = hidden + layer_input
+            return hidden, hidden
+
+        _, ys = jax.lax.scan(body, boundary, stacked)
+        return [ys[i] for i in range(len(params["layers"]))]
+
     layer_input = boundary
     hiddens = []
     for i, layer_params in enumerate(params["layers"]):
-        apply_fn = conv_apply
-        if cfg.remat:
-            apply_fn = jax.checkpoint(
-                conv_apply, static_argnums=(1,), policy=None
-            )
         hidden = apply_fn(
             layer_params,
             cfg.conv_config(i),
