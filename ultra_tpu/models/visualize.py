@@ -10,7 +10,7 @@ gradients (numpy; single query, interpretation tooling not a hot path).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,7 @@ import numpy as np
 
 from ultra_tpu.graph import Graph
 from ultra_tpu.models.layers import ConvConfig, layer_relation, linear, layer_norm, _activation
-from ultra_tpu.models.nbfnet import NBFNetConfig, mlp_apply, scatter_boundary, rel_nbfnet_apply
+from ultra_tpu.models.nbfnet import mlp_apply, scatter_boundary, rel_nbfnet_apply
 from ultra_tpu.ops.rspmm import _rspmm_xla
 
 

@@ -39,7 +39,7 @@ aggregation currently uses the XLA path (only needed by PNA configs).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

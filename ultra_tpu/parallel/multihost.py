@@ -14,7 +14,7 @@ covered by the virtual-mesh tests; run on a real slice via
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

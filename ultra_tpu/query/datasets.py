@@ -22,7 +22,7 @@ import pickle
 import urllib.request
 import zipfile
 from collections import defaultdict
-from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 

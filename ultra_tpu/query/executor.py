@@ -95,12 +95,20 @@ def stack_pop(stack, sp, mask):
 # ---------------------------------------------------------------------------
 
 
-def relation_projection(params, ultra_cfg: UltraConfig, qcfg: QueryConfig, graph: Graph, h_prob, r_index):
-    """One hop: (B, V) fuzzy set + (B,) relations -> (B, V) fuzzy set."""
+def relation_projection(params, ultra_cfg: UltraConfig, qcfg: QueryConfig, graph: Graph, h_prob, r_index,
+                        rel_reprs_all=None):
+    """One hop: (B, V) fuzzy set + (B,) relations -> (B, V) fuzzy set.
+
+    ``rel_reprs_all`` ((R, R, D), eval-time): precomputed relation-graph
+    outputs per query relation — skips the relation GNN per projection.
+    """
     b = r_index.shape[0]
-    rel_reprs = rel_nbfnet_apply(
-        params["relation_model"], ultra_cfg.relation_model, graph.relation_graph, r_index
-    )  # (B, R, D)
+    if rel_reprs_all is not None:
+        rel_reprs = jnp.take(rel_reprs_all, r_index, axis=0)  # (B, R, D)
+    else:
+        rel_reprs = rel_nbfnet_apply(
+            params["relation_model"], ultra_cfg.relation_model, graph.relation_graph, r_index
+        )  # (B, R, D)
     query = rel_reprs[jnp.arange(b), r_index]  # (B, D)
 
     if qcfg.threshold > 0.0:
@@ -125,12 +133,19 @@ def execute(
     graphs: Union[Graph, Sequence[Graph]],
     kind: jax.Array,  # (B, L) int8 (ops.decompose)
     operand: jax.Array,  # (B, L) int32
+    rel_reprs_all=None,  # (R, R, D) eval-time relation cache
 ):
     """Returns (B, V) logits over answer nodes (ultraquery.py:138-144).
 
     ``graphs``: a single Graph (eval) or one per slot (training-time
     traversal dropout edits both the edge weights and the relation graph).
+    ``rel_reprs_all`` is only valid with a single shared graph (the
+    relation graph changes per slot under traversal dropout).
     """
+    if rel_reprs_all is not None:
+        assert not isinstance(graphs, (list, tuple)), (
+            "relation cache requires a single shared graph"
+        )
     first = graphs[0] if isinstance(graphs, (list, tuple)) else graphs
     b = kind.shape[0]
     length = kind.shape[1]
@@ -179,6 +194,7 @@ def execute(
                 params, ultra_cfg, qcfg, graph,
                 jax.lax.stop_gradient(h_prob),  # detach (ultraquery.py:209)
                 jnp.clip(arg, 0, graph.num_relations - 1),
+                rel_reprs_all=rel_reprs_all,
             )
             stack, sp = stack_push(stack, sp, is_proj, t_prob)
             return stack, sp

@@ -148,8 +148,9 @@ def make_query_train_step(
 
 def make_query_forward(ultra_cfg: UltraConfig, qcfg: QueryConfig):
     @jax.jit
-    def fwd(params, graph: Graph, kind, operand):
-        return execute(params, ultra_cfg, qcfg, graph, kind, operand)
+    def fwd(params, graph: Graph, kind, operand, rel_reprs_all=None):
+        return execute(params, ultra_cfg, qcfg, graph, kind, operand,
+                       rel_reprs_all=rel_reprs_all)
 
     return fwd
 
@@ -165,8 +166,13 @@ def evaluate_queries(
     metric_names: Sequence[str] = ("mrr", "hits@1", "hits@3", "hits@10", "mape"),
     restrict_nodes: Optional[np.ndarray] = None,
 ) -> Dict[str, float]:
+    from ultra_tpu.train.eval import precompute_relation_representations
+
     fwd = make_query_forward(ultra_cfg, qcfg.replace(dropout_ratio=0.0))
     v = graph.num_nodes
+    # eval-time relation cache: one relation-GNN pass per relation instead of
+    # one per projection slot per batch
+    rel_reprs_all = precompute_relation_representations(params, ultra_cfg, graph)
 
     all_rank, all_answer_rank = [], []
     all_easy, all_hard, all_types, all_num_pred = [], [], [], []
@@ -177,7 +183,8 @@ def evaluate_queries(
             take = np.concatenate([take, np.repeat(take[-1:], batch_size - valid)])
         kind, operand = ops.decompose(dataset.queries[take])
         pred = np.asarray(
-            fwd(params, graph, jnp.asarray(kind), jnp.asarray(operand))
+            fwd(params, graph, jnp.asarray(kind), jnp.asarray(operand),
+                rel_reprs_all)
         )[:valid]
         take = take[:valid]
         easy = answers_to_mask([dataset.easy_answers[i] for i in take], v)

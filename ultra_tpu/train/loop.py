@@ -12,8 +12,7 @@ Optimizer is optax.adamw with torch-AdamW-equivalent hyperparameters.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
