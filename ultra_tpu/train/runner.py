@@ -55,6 +55,8 @@ def model_config_from_dict(model_cfg: dict) -> UltraConfig:
             concat_hidden=bool(cfg.get("concat_hidden", False)),
             num_mlp_layer=int(cfg.get("num_mlp_layer", 2)),
             remove_one_hop=bool(cfg.get("remove_one_hop", False)),
+            remat=bool(cfg.get("remat", False)),
+            compute_dtype=cfg.get("compute_dtype"),
             project_relations=project_relations,
         )
 
