@@ -90,14 +90,6 @@ def _segment_reduce(msg, seg_ids, num_segments, sum_op):
     raise ValueError(f"unknown sum op {sum_op!r}")
 
 
-def _finalize(out, sum_op):
-    """Empty segments of segment_min/max come back as +/-inf; the reference
-    kernel initializes with the identity and leaves it (operator.cuh:44-60),
-    and callers fold the boundary with max/min afterwards — so +/-inf is
-    equivalent. But keep -inf/-inf out of grads by leaving as-is."""
-    return out
-
-
 def _rspmm_xla(edge_index, edge_type, edge_weight, relation, x, num_nodes, sum_op, mul_op):
     msg = _messages(edge_index, edge_type, edge_weight, relation, x, sum_op, mul_op)
     return _segment_reduce(msg, edge_index[0], num_nodes, sum_op)

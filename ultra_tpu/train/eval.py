@@ -116,7 +116,6 @@ def evaluate(
     )
 
     n = len(trips)
-    pad_n = -(-n // batch_size) * batch_size
     rankings, num_negatives = [], []
     tail_rankings, num_tail_negs = [], []
     for start in range(0, n, batch_size):
