@@ -113,6 +113,26 @@ def test_ultra_end_to_end_parity(setup, params_np):
         np.asarray(score_jax), score_torch.numpy(), rtol=5e-4, atol=5e-4
     )
 
+    # golden PER-LAYER activation parity (SURVEY.md §7): every entity-model
+    # hidden state must match the oracle, layer by layer
+    from ultra_tpu.models.nbfnet import bellmanford, scatter_boundary
+
+    b = len(h_index)
+    query = rel_repr[jnp.arange(b), jnp.asarray(r_index)]
+    boundary = scatter_boundary(jnp.asarray(h_index), query, graph.num_nodes)
+    hiddens = bellmanford(
+        params["entity_model"], cfg.entity_model, graph, boundary, query,
+        relation_input=rel_repr,
+    )
+    assert len(hiddens) == len(per_layer)
+    for i, (h_jax, h_torch) in enumerate(zip(hiddens, per_layer)):
+        np.testing.assert_allclose(
+            np.swapaxes(np.asarray(h_jax), 0, 1),  # (V,B,D) -> (B,V,D)
+            h_torch.numpy(),
+            rtol=5e-4, atol=5e-5,
+            err_msg=f"entity layer {i}",
+        )
+
 
 def test_ultra_apply_batch_gather(setup):
     """ultra_apply with explicit t_index must equal gathering score_all."""
