@@ -888,7 +888,7 @@ def split_to_graph(
     pad_edges_to: Optional[int] = None,
     pad_rel_edges_to: Optional[int] = None,
     with_plans: bool = False,
-    plan_rb: int = 384,
+    plan_rb=None,
     plan_chunk: int = 128,
 ):
     """KGSplit -> device Graph with relation graph (and optional Pallas
@@ -923,7 +923,7 @@ def split_to_graph(
             )
 
         rel_graph = attach_plans(
-            rel_graph, rb=min(plan_rb, 128), chunk=plan_chunk,
+            rel_graph, rb=min(plan_rb, 128) if plan_rb else None, chunk=plan_chunk,
             host_edges=host_padded(rel_ei, rel_et, rel_graph.num_edges_padded),
         )
         graph = attach_plans(

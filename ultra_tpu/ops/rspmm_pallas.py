@@ -58,6 +58,35 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def auto_rb(num_nodes: int, num_edges: int, num_relations: int, chunk: int = 128,
+            edge_index=None) -> int:
+    """Pick the tile row-block size minimizing cost per edge:
+    (gather + type + reduce matmul width) x chunk-padding waste. Small
+    graphs favor small blocks (less one-hot work); large sparse graphs need
+    big blocks or the (V/rb)^2 tile count drowns everything in padding.
+
+    With ``edge_index`` the padding waste is computed exactly (one bincount
+    per candidate); otherwise a tiles*C/2 estimate is used."""
+    r_pad = max(_round_up(num_relations, 8), 8)
+    if edge_index is not None:
+        dst = np.asarray(edge_index[0], dtype=np.int64)
+        src = np.asarray(edge_index[1], dtype=np.int64)
+    best, best_cost = 384, float("inf")
+    for rb in (128, 256, 384, 512, 768, 1024, 1536, 2048):
+        n_blk = -(-num_nodes // rb)
+        if edge_index is not None and num_edges:
+            tile = (dst // rb) * n_blk + (src // rb)
+            counts = np.bincount(tile)
+            chunks = int((-(-counts[counts > 0] // chunk)).sum())
+            waste = chunks * chunk / num_edges
+        else:
+            waste = 1.0 + n_blk * n_blk * chunk / (2.0 * max(num_edges, 1))
+        cost = (2 * rb + r_pad) * waste
+        if cost < best_cost:
+            best, best_cost = rb, cost
+    return best
+
+
 @struct.dataclass
 class PallasPlan:
     """Host-precomputed edge bucketing for one traversal order of a graph.
@@ -768,7 +797,7 @@ class GraphPlans:
 
 
 def build_sharded_plans(
-    graph, n_shards: int, rb: int = 384, chunk: int = 128, host_edges=None
+    graph, n_shards: int, rb: Optional[int] = None, chunk: int = 128, host_edges=None
 ):
     """Edge-partition a graph's live edges into ``n_shards`` contiguous
     groups and build a stacked GraphPlans (leading shard axis, common chunk
@@ -785,6 +814,9 @@ def build_sharded_plans(
         et = np.asarray(jax.device_get(graph.edge_type))
         ew = np.asarray(jax.device_get(graph.edge_weight))
     live = np.nonzero(ew != 0.0)[0]
+    if rb is None:
+        rb = auto_rb(graph.num_nodes, len(live) // max(n_shards, 1),
+                     graph.num_relations, chunk)
     groups = np.array_split(live, n_shards)
 
     per_shard = [
@@ -838,7 +870,7 @@ def pad_plan(plan: PallasPlan, k_target: int, dead_slot: int) -> PallasPlan:
     )
 
 
-def attach_plans(graph, rb: int = 384, chunk: int = 128, host_edges=None,
+def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=None,
                  pad_chunks_to=None):
     """Build GraphPlans from a Graph's live edges and attach them.
 
@@ -857,6 +889,9 @@ def attach_plans(graph, rb: int = 384, chunk: int = 128, host_edges=None,
         et = np.asarray(jax.device_get(graph.edge_type))
         ew = np.asarray(jax.device_get(graph.edge_weight))
     live = np.nonzero(ew != 0.0)[0]
+    if rb is None:
+        rb = auto_rb(graph.num_nodes, len(live), graph.num_relations, chunk,
+                     edge_index=ei[:, live])
     plans = GraphPlans.build(
         ei[:, live], et[live], graph.num_nodes, graph.num_relations,
         rb=rb, chunk=chunk,
