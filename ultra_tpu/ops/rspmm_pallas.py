@@ -32,8 +32,10 @@ transposed plan (reduce over src, gather d_out by dst); d_rel reduces over
 relation types with both V-side operands gathered (kernel variant with two
 blocked gathers and a single resident output block).
 
-The semantics contract matches rspmm.cpp:50-75 (sum x {mul, add}); min/max
-aggregation currently uses the XLA path (only needed by PNA configs).
+The semantics contract matches rspmm.cpp:50-75 for all six variants:
+{add, min, max} x {mul, add}. min/max run as segmented scans over
+reduce-sorted chunks with a select-last matmul (see _minmax_kernel) and
+tie-routed backward kernels, mirroring operator.cuh:44-80.
 """
 
 from __future__ import annotations
