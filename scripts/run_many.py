@@ -91,7 +91,7 @@ def main():
             cfg = config_lib.load_config(
                 args.config,
                 context={"dataset": name, "version": version, "epochs": 0,
-                         "bpe": "null", "ckpt": args.ckpt},
+                         "bpe": "null", "ckpt": args.ckpt or "null"},
             )
             cfg["dataset"].update(ds_kwargs)
             cfg["dataset"]["root"] = args.root

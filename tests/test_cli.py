@@ -104,3 +104,64 @@ exec(open(%r).read())
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "mrr" in proc.stdout
+
+
+def test_run_many_cli(tmp_path):
+    """Drive scripts/run_many.py (zero-shot sweep + CSV) offline."""
+    root = tmp_path / "data"
+    raw = root / "manytoy" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    lines = sorted(
+        {f"n{rng.integers(12)} r{rng.integers(3)} n{rng.integers(12)}" for _ in range(70)}
+    )
+    (raw / "train.txt").write_text("\n".join(lines[:40]) + "\n")
+    (raw / "valid.txt").write_text("\n".join(lines[40:50]) + "\n")
+    (raw / "test.txt").write_text("\n".join(lines[50:60]) + "\n")
+
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text(
+        """
+output_dir: ./out
+dataset:
+  class: {{ dataset }}
+model:
+  relation_model: {input_dim: 16, hidden_dims: [16]}
+  entity_model: {input_dim: 16, hidden_dims: [16]}
+task:
+  name: TransductiveInference
+  metric: [mrr, hits@10]
+optimizer: {lr: 1.0e-3}
+train:
+  batch_size: 4
+  num_epoch: {{ epochs }}
+  batch_per_epoch: {{ bpe }}
+checkpoint: {{ ckpt }}
+"""
+    )
+    out_csv = tmp_path / "results.csv"
+    driver = tmp_path / "driver.py"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    driver.write_text(
+        f"""
+import sys
+sys.path.insert(0, {repo!r})
+import tests.conftest
+from ultra_tpu.data import kg
+
+class ManyToy(kg.TransductiveDataset):
+    name = "manytoy"
+    urls = ()
+
+kg.DATASETS["ManyToy"] = ManyToy
+sys.argv = ["run_many.py", "-c", {str(cfg_file)!r}, "-d", "ManyToy",
+            "--root", {str(root)!r}, "--output", {str(out_csv)!r}]
+exec(open({os.path.join(repo, "scripts", "run_many.py")!r}).read())
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, str(driver)], capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    content = out_csv.read_text()
+    assert "mrr" in content and "ManyToy" in content
