@@ -1,0 +1,146 @@
+"""BetaE pickle-format loader tests with locally written fixtures (no
+network): transductive LogicalQueryDataset and the inductive variant's
+query filtering / restrict_nodes plumbing."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from ultra_tpu.query import ops
+from ultra_tpu.query import datasets as qds
+
+
+def write_transductive_fixture(root, name="toy-betae"):
+    """Minimal BetaE dump: id2ent/id2rel pickles, triple txts, query pickles."""
+    path = os.path.join(root, name)
+    os.makedirs(path, exist_ok=True)
+    num_ent, num_rel = 12, 6  # rels include inverses as rel+1 (BetaE style)
+    with open(os.path.join(path, "id2ent.pkl"), "wb") as f:
+        pickle.dump({i: f"e{i}" for i in range(num_ent)}, f)
+    with open(os.path.join(path, "id2rel.pkl"), "wb") as f:
+        pickle.dump({i: f"r{i}" for i in range(num_rel)}, f)
+
+    rng = np.random.default_rng(0)
+    triples = {(int(rng.integers(num_ent)), int(rng.integers(num_rel)),
+                int(rng.integers(num_ent))) for _ in range(40)}
+    triples = sorted(triples)
+    for split, chunk in (("train", triples[:30]), ("valid", triples[30:35]),
+                         ("test", triples[35:])):
+        with open(os.path.join(path, f"{split}.txt"), "w") as f:
+            for h, r, t in chunk:
+                f.write(f"{h} {r} {t}\n")
+
+    # queries: 1p and 2i structures (BetaE nested tuples)
+    s1p = ("e", ("r",))
+    s2i = (("e", ("r",)), ("e", ("r",)))
+    q1 = (3, (1,))
+    q2 = (5, (0,))
+    q2i = ((3, (1,)), (7, (2,)))
+    train_queries = {s1p: {q1, q2}}
+    eval_queries = {s1p: {q1}, s2i: {q2i}}
+
+    with open(os.path.join(path, "train-queries.pkl"), "wb") as f:
+        pickle.dump(train_queries, f)
+    with open(os.path.join(path, "train-answers.pkl"), "wb") as f:
+        pickle.dump({q1: {2, 4}, q2: {6}}, f)
+    for split in ("valid", "test"):
+        with open(os.path.join(path, f"{split}-queries.pkl"), "wb") as f:
+            pickle.dump(eval_queries, f)
+        with open(os.path.join(path, f"{split}-easy-answers.pkl"), "wb") as f:
+            pickle.dump({q1: {2}, q2i: set()}, f)
+        with open(os.path.join(path, f"{split}-hard-answers.pkl"), "wb") as f:
+            pickle.dump({q1: {4}, q2i: {8, 9}}, f)
+    return num_ent, num_rel
+
+
+def test_transductive_betae_loader(tmp_path):
+    root = str(tmp_path)
+    num_ent, num_rel = write_transductive_fixture(root)
+
+    class ToyBetae(qds.LogicalQueryDataset):
+        name = "toy-betae"
+
+    ds = ToyBetae(root).load()
+    assert ds.graphs[0].num_nodes == num_ent
+    assert ds.graphs[0].num_relations == num_rel
+    assert ds.graphs[0].inverse_rel_plus_one
+    assert ds.num_samples[0] == 2  # two 1p train queries
+    assert ds.num_samples[1] == 2 and ds.num_samples[2] == 2
+
+    # programs decode back to the right structures
+    kind, operand = ops.decompose(ds.queries)
+    n_proj = (kind == ops.K_PROJECTION).sum(axis=1)
+    assert set(n_proj.tolist()) <= {1, 2}
+    # answers preserved
+    (tr_lo, tr_hi), (va_lo, va_hi), _ = ds.split_ranges()
+    for i in range(tr_lo, tr_hi):
+        assert len(ds.easy_answers[i]) >= 1
+        assert len(ds.hard_answers[i]) == 0  # train has no hard split
+    # union filtering: 2u types only for the requested union_type
+    assert all("-DM" not in t for t in ds.id2type)
+
+    # end-to-end: tiny model answers the loaded queries
+    import jax
+    import jax.numpy as jnp
+
+    from ultra_tpu.models.nbfnet import NBFNetConfig, UltraConfig
+    from ultra_tpu.query.executor import QueryConfig
+    from ultra_tpu.query.trainer import evaluate_queries, prepare_query_graph
+    from ultra_tpu.train.loop import init_ultra_params
+
+    cfg = UltraConfig(
+        relation_model=NBFNetConfig(input_dim=16, hidden_dims=(16,), num_relation=4),
+        entity_model=NBFNetConfig(
+            input_dim=16, hidden_dims=(16,), num_relation=1, project_relations=True
+        ),
+    )
+    params = init_ultra_params(cfg, jax.random.key(0))
+    graph = prepare_query_graph(ds.graphs[2], with_plans=False)
+    m = evaluate_queries(
+        params, cfg, QueryConfig(dropout_ratio=0.0), graph, ds,
+        np.arange(va_hi, va_hi + ds.num_samples[2]), batch_size=2,
+        metric_names=("mrr", "hits@10"),
+    )
+    assert "mrr" in m and np.isfinite(m["mrr"])
+
+
+def test_inductive_betae_loader(tmp_path):
+    root = str(tmp_path)
+    path = os.path.join(root, "9999")
+    os.makedirs(path, exist_ok=True)
+
+    def wt(fname, triples):
+        with open(os.path.join(path, fname), "w") as f:
+            for h, r, t in triples:
+                f.write(f"{h} {r} {t}\n")
+
+    # node ranges: train 0-5, val inference adds 6-8, test inference adds 9-11
+    wt("train_graph.txt", [(0, 0, 1), (1, 1, 2), (2, 0, 3), (3, 1, 4), (4, 0, 5)])
+    wt("val_inference.txt", [(5, 0, 6), (6, 1, 7), (7, 0, 8)])
+    wt("test_inference.txt", [(5, 1, 9), (9, 0, 10), (10, 1, 11)])
+
+    s1p = ("e", ("r",))
+    s2u = (("e", ("r",)), ("e", ("r",)), ("u",))
+    q1 = (0, (0,))
+    q2u = ((0, (0,)), (1, (1,)), (-1,))
+    for split in ("train", "valid", "test"):
+        with open(os.path.join(path, f"{split}_queries.pkl"), "wb") as f:
+            pickle.dump({s1p: {q1}, s2u: {q2u}}, f)
+        with open(os.path.join(path, f"{split}_answers_hard.pkl"), "wb") as f:
+            pickle.dump({s1p: {q1: {1}}, s2u: {q2u: {1, 2}}}, f)
+        if split != "train":
+            with open(os.path.join(path, f"{split}_answers_easy.pkl"), "wb") as f:
+                pickle.dump({s1p: {q1: set()}, s2u: {q2u: set()}}, f)
+
+    ds = qds.InductiveFB15k237Query(root, 9999).load()
+    # union structures are excluded from TRAIN via train_patterns
+    assert ds.num_samples[0] == 1
+    assert ds.num_samples[1] == 2 and ds.num_samples[2] == 2
+    # graphs grow by node ranges; eval restricted to their node subsets
+    assert ds.graphs[0].num_nodes == 6
+    assert ds.graphs[1].num_nodes == 12 and ds.graphs[2].num_nodes == 12
+    assert ds.graphs[1].restrict_nodes is not None
+    assert 9 not in set(ds.graphs[1].restrict_nodes)
+    assert 9 in set(ds.graphs[2].restrict_nodes)
