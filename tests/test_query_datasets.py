@@ -144,3 +144,61 @@ def test_inductive_betae_loader(tmp_path):
     assert ds.graphs[1].restrict_nodes is not None
     assert 9 not in set(ds.graphs[1].restrict_nodes)
     assert 9 in set(ds.graphs[2].restrict_nodes)
+
+
+def test_run_query_cli(tmp_path):
+    """Drive scripts/run_query.py as a subprocess on the pickle fixture."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "qdata")
+    os.makedirs(root, exist_ok=True)
+    write_transductive_fixture(root)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_file = tmp_path / "q.yaml"
+    cfg_file.write_text(
+        f"""
+output_dir: {tmp_path}/out
+dataset:
+  class: ToyBetaeCLI
+  root: {root}
+model:
+  logic: product
+  dropout_ratio: 0.25
+  threshold: 0.0
+  model:
+    relation_model: {{input_dim: 16, hidden_dims: [16]}}
+    entity_model: {{input_dim: 16, hidden_dims: [16]}}
+task:
+  name: ComplexQuery
+  adversarial_temperature: 0.2
+  metric: [mrr, hits@10]
+optimizer: {{lr: 1.0e-3}}
+train:
+  batch_size: 2
+  num_epoch: {{{{ epochs }}}}
+"""
+    )
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        f"""
+import sys
+sys.path.insert(0, {repo!r})
+import tests.conftest
+from ultra_tpu.query import datasets as qds
+
+class ToyBetaeCLI(qds.LogicalQueryDataset):
+    name = "toy-betae"
+
+qds.QUERY_DATASETS["ToyBetaeCLI"] = ToyBetaeCLI
+sys.argv = ["run_query.py", "-c", {str(cfg_file)!r}, "--epochs", "0"]
+exec(open({os.path.join(repo, "scripts", "run_query.py")!r}).read())
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, str(driver)], capture_output=True, text=True,
+        timeout=600, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "mrr" in proc.stderr or "mrr" in proc.stdout
