@@ -104,6 +104,7 @@ class PallasPlan:
     local_gather: jax.Array  # (K, C) int32 in [0, rb_gather)
     types: jax.Array  # (K, C) int32 in [0, r_pad)
     perm: jax.Array  # (K, C) int32 into the (E_pad+1,) extended weight vector
+    covered: jax.Array  # (n_reduce_blocks,) f32 — 1 if any chunk writes block
     num_chunks: int = struct.field(pytree_node=False)
     chunk: int = struct.field(pytree_node=False)
     rb_reduce: int = struct.field(pytree_node=False)
@@ -199,6 +200,11 @@ def build_plan(
             k = pad_chunks_to
 
     r_pad = max(_round_up(num_relations, 8), 8)
+    # blocks no chunk writes stay uninitialized in the pallas output and are
+    # masked after the call (their true value is the aggregation identity)
+    covered = np.zeros(n_red_blk, dtype=np.float32)
+    if k:
+        covered[np.unique(reduce_blk)] = 1.0
     return PallasPlan(
         reduce_blk=jnp.asarray(reduce_blk),
         gather_blk=jnp.asarray(gather_blk),
@@ -206,6 +212,7 @@ def build_plan(
         local_gather=jnp.asarray(local_gather.reshape(k, chunk)),
         types=jnp.asarray(types.reshape(k, chunk)),
         perm=jnp.asarray(perm.reshape(k, chunk).astype(np.int32)),
+        covered=jnp.asarray(covered),
         num_chunks=k,
         chunk=chunk,
         rb_reduce=rb_reduce,
@@ -271,6 +278,9 @@ def rspmm_pallas_fwd(
 ) -> jax.Array:
     """Sum-aggregation rspmm via the plan. Returns (n_reduce_pad, F)."""
     n, f = x.shape
+    rows = out_rows if out_rows is not None else n
+    if plan.num_chunks == 0:  # no live edges (e.g. fully masked graph)
+        return jnp.zeros((rows, f), jnp.float32)
     f_blk = min(f_block, f)
     assert f % f_blk == 0, (f, f_blk)
     nf = f // f_blk
@@ -316,7 +326,10 @@ def rspmm_pallas_fwd(
       _pad8(plan.types), _pad8(w_plan),
       x_pad, rel_pad)
 
-    rows = out_rows if out_rows is not None else n
+    # unvisited output blocks are uninitialized: their true sum is 0
+    # (where, not multiply — 0 * garbage-inf would be NaN)
+    mask = jnp.repeat(plan.covered, plan.rb_reduce)[:, None]
+    out = jnp.where(mask > 0, out, 0.0)
     return out[:rows]
 
 
@@ -484,6 +497,10 @@ def rspmm_pallas_minmax_fwd(
     """min/max-aggregation rspmm (forward only). Rows with no live edges hold
     -/+1e38 (callers fold the boundary with max/min, layers.py:205-219)."""
     n, f = x.shape
+    rows = out_rows if out_rows is not None else n
+    if plan.num_chunks == 0:  # no live edges
+        fill = jnp.inf if is_min else -jnp.inf
+        return jnp.full((rows, f), fill, jnp.float32)
     f_blk = min(f_block, f)
     nf = f // f_blk
     x_pad = jnp.pad(x, ((0, plan.n_gather_pad - n), (0, 0)))
@@ -520,9 +537,11 @@ def rspmm_pallas_minmax_fwd(
       _pad8(plan.local_reduce), _pad8(plan.local_gather),
       _pad8(plan.types), _pad8(w_plan),
       x_pad, rel_pad)
-    rows = out_rows if out_rows is not None else n
-    # convert the finite fill back to the +/-inf convention of the XLA path
+    # unvisited output blocks are uninitialized: force them to the identity,
+    # then convert the finite fill back to the XLA path's +/-inf convention
     sign = 1.0 if is_min else -1.0
+    mask = jnp.repeat(plan.covered, plan.rb_reduce)[:, None]
+    out = jnp.where(mask > 0, out, sign * _MINMAX_FILL)
     outv = out[:rows]
     return jnp.where(outv == sign * _MINMAX_FILL, sign * jnp.inf, outv)
 
@@ -676,6 +695,8 @@ def _minmax_vjp_fwd(mul, sum_op, num_nodes, plans, relation, x, edge_weight):
 
 def _minmax_vjp_bwd(mul, sum_op, num_nodes, res, g):
     plans, relation, x, edge_weight, out_fwd = res
+    if plans.dst.num_chunks == 0:
+        return (None, jnp.zeros_like(relation), jnp.zeros_like(x), None)
     f = int(np.prod(x.shape[1:]))
     f_blk = min(512, f)
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
@@ -869,7 +890,7 @@ def pad_plan(plan: PallasPlan, k_target: int, dead_slot: int) -> PallasPlan:
             [plan.perm, jnp.full((extra, c), dead_slot, jnp.int32)]
         ),
         num_chunks=k_target,
-    )
+    )  # covered unchanged: dead chunks extend an already-covered block
 
 
 def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=None,
@@ -925,6 +946,8 @@ def _fwd(mul, num_nodes, plans, relation, x, edge_weight):
 
 def _bwd(mul, num_nodes, res, g):
     plans, relation, x, edge_weight = res
+    if plans.dst.num_chunks == 0:
+        return (None, jnp.zeros_like(relation), jnp.zeros_like(x), None)
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
     g2 = _flatten(g)
