@@ -99,3 +99,36 @@ def test_batchless_feature_shapes():
                             jnp.ones(30), rel, x, sum="add", mul="add")
     assert out.shape == (8, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fuzz_plans_vs_xla():
+    """Randomized graphs x plan configs x ops against the XLA backend."""
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        v = int(rng.integers(5, 120))
+        r = int(rng.integers(1, 12))
+        e = int(rng.integers(1, 400))
+        b = int(rng.choice([1, 2, 4]))
+        d = int(rng.choice([8, 16]))
+        rb = int(rng.choice([8, 16, 32, 64]))
+        ei = rng.integers(0, v, size=(2, e)).astype(np.int64)
+        et = rng.integers(0, r, size=e).astype(np.int64)
+        ew = rng.choice([0.0, 1.0, 0.5], size=e, p=[0.2, 0.6, 0.2]).astype(np.float32)
+        rel = jnp.asarray(rng.normal(size=(r, b, d)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(v, b, d)).astype(np.float32))
+        pad = int(-(-e // 128) * 128)
+        g = as_graph(ei, et, ew, v, r, pad_to=pad, plans=False)
+        g = attach_plans(g, rb=rb, chunk=128)
+        for op in ("add", "max", "min"):
+            mul = "mul" if trial % 2 == 0 else "add"
+            ref = generalized_rspmm(
+                jnp.asarray(ei), jnp.asarray(et), jnp.asarray(ew), rel, x,
+                sum=op, mul=mul, backend="xla",
+            )
+            out = rspmm_from_graph(g, rel, x, sum=op, mul=mul)
+            a = np.nan_to_num(np.asarray(out), posinf=9e9, neginf=-9e9)
+            b_ = np.nan_to_num(np.asarray(ref), posinf=9e9, neginf=-9e9)
+            np.testing.assert_allclose(
+                a, b_, rtol=3e-3, atol=3e-3,
+                err_msg=f"trial={trial} v={v} e={e} rb={rb} op={op} mul={mul}",
+            )
