@@ -66,18 +66,25 @@ def precompute_relation_representations(params, cfg: UltraConfig, graph: Graph, 
 def score_and_rank_batch_cached(
     params, cfg: UltraConfig, graph: Graph, rel_reprs_all, batch, t_mask, h_mask
 ):
-    """score_and_rank_batch using precomputed (R, R, D) relation outputs."""
+    """score_and_rank_batch using precomputed (R, R, D) relation outputs.
+
+    Both prediction directions run as ONE entity-model pass over a 2B-query
+    batch (they share the graph): halves fixed per-call costs and doubles
+    the kernel's feature width.
+    """
     from ultra_tpu.models.nbfnet import entity_nbfnet_score_all
 
     h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
     num_direct = graph.num_relations // 2
     rel_repr = jnp.take(rel_reprs_all, r, axis=0)  # (B, R, D)
-    t_pred = entity_nbfnet_score_all(
-        params["entity_model"], cfg.entity_model, graph, rel_repr, h, r
-    )
-    h_pred = entity_nbfnet_score_all(
-        params["entity_model"], cfg.entity_model, graph, rel_repr, t, r + num_direct
-    )
+    heads = jnp.concatenate([h, t])
+    rels = jnp.concatenate([r, r + num_direct])
+    both = entity_nbfnet_score_all(
+        params["entity_model"], cfg.entity_model, graph,
+        jnp.concatenate([rel_repr, rel_repr], axis=0), heads, rels,
+    )  # (2B, V)
+    b = batch.shape[0]
+    t_pred, h_pred = both[:b], both[b:]
     t_rank = tasks.compute_ranking(t_pred, t, t_mask)
     h_rank = tasks.compute_ranking(h_pred, h, h_mask)
     return t_rank, h_rank
