@@ -132,3 +132,39 @@ def test_fuzz_plans_vs_xla():
                 a, b_, rtol=3e-3, atol=3e-3,
                 err_msg=f"trial={trial} v={v} e={e} rb={rb} op={op} mul={mul}",
             )
+
+
+def test_minmax_gradient_with_isolated_nodes():
+    """Nodes that never appear as a source must get zero d_x even though
+    their src-plan output block is never visited by the grid."""
+    import jax
+
+    # all edges originate from nodes 0..7; nodes 8..39 are isolated sources
+    rng = np.random.default_rng(3)
+    e = 60
+    ei = np.stack([rng.integers(0, 40, size=e), rng.integers(0, 8, size=e)])
+    et = rng.integers(0, 3, size=e)
+    ew = np.ones(e, np.float32)
+    rel = jnp.asarray(rng.normal(size=(3, 1, 8)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(40, 1, 8)).astype(np.float32))
+    g = as_graph(ei, et, ew, 40, 3, pad_to=128, plans=True)
+
+    def loss(rel, x):
+        out = rspmm_from_graph(g, rel, x, sum="max")
+        return jnp.sum(jnp.sin(jnp.where(jnp.isfinite(out), out, 0.0)))
+
+    gr, gx = jax.grad(loss, argnums=(0, 1))(rel, x)
+    gx = np.asarray(gx)
+    assert np.isfinite(gx).all()
+    np.testing.assert_array_equal(gx[8:], 0.0)
+
+    def loss_ref(rel, x):
+        out = generalized_rspmm(
+            jnp.asarray(ei), jnp.asarray(et), jnp.asarray(ew), rel, x,
+            sum="max", mul="mul", backend="xla",
+        )
+        return jnp.sum(jnp.sin(jnp.where(jnp.isfinite(out), out, 0.0)))
+
+    gr2, gx2 = jax.grad(loss_ref, argnums=(0, 1))(rel, x)
+    np.testing.assert_allclose(gx, np.asarray(gx2), rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gr2), rtol=3e-3, atol=3e-3)

@@ -722,7 +722,11 @@ def _minmax_vjp_bwd(mul, sum_op, num_nodes, res, g):
     d_x = _minmax_bwd_call(
         kern, p, x_red, g_gat, out_gat, rel_pad, w_plan,
         p.n_reduce_pad, x.shape[0], f, f_blk,
-    )[: x.shape[0]].reshape(x.shape)
+    )
+    # unvisited output blocks (nodes with no outgoing edges in this plan)
+    # are uninitialized; their true gradient is 0
+    d_x = jnp.where(jnp.repeat(p.covered, p.rb_reduce)[:, None] > 0, d_x, 0.0)
+    d_x = d_x[: x.shape[0]].reshape(x.shape)
 
     # d_rel on the dst-major plan (resident relation-sized output)
     p = plans.dst
