@@ -57,3 +57,76 @@ def test_pretrain_two_graphs(tmp_path):
     # params updated and finite
     for leaf in jax.tree.leaves(out):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_pretrain_cli(tmp_path):
+    """Drive scripts/pretrain.py end to end on two toy member graphs."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "kg")
+    for name, seed in (("jga", 4), ("jgb", 5)):
+        rng = np.random.default_rng(seed)
+        lines = sorted({f"x{rng.integers(15)} r{rng.integers(3)} x{rng.integers(15)}"
+                        for _ in range(60)})
+        raw = os.path.join(root, name, "raw")
+        write(os.path.join(raw, "train.txt"), lines[:40])
+        write(os.path.join(raw, "valid.txt"), lines[40:50])
+        write(os.path.join(raw, "test.txt"), lines[50:])
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_file = tmp_path / "p.yaml"
+    cfg_file.write_text(
+        f"""
+output_dir: {tmp_path}/out
+dataset:
+  class: JointDataset
+  graphs: [JGA, JGB]
+  root: {root}
+model:
+  relation_model: {{input_dim: 16, hidden_dims: [16]}}
+  entity_model: {{input_dim: 16, hidden_dims: [16]}}
+task:
+  name: MultiGraphPretraining
+  num_negative: 4
+  strict_negative: yes
+  adversarial_temperature: 1
+optimizer: {{lr: 1.0e-3}}
+train:
+  batch_size: 4
+  num_epoch: 1
+  batch_per_epoch: 3
+  fast_test: 5
+"""
+    )
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        f"""
+import sys
+sys.path.insert(0, {repo!r})
+import tests.conftest
+from ultra_tpu.data import kg
+
+class JGA(kg.TransductiveDataset):
+    name = "jga"
+    urls = ()
+
+class JGB(kg.TransductiveDataset):
+    name = "jgb"
+    urls = ()
+
+kg.JointDataset.datasets_map = dict(kg.JointDataset.datasets_map, JGA=JGA, JGB=JGB)
+sys.argv = ["pretrain.py", "-c", {str(cfg_file)!r}]
+exec(open({os.path.join(repo, "scripts", "pretrain.py")!r}).read())
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, str(driver)], capture_output=True, text=True,
+        timeout=600, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out_dirs = os.listdir(tmp_path / "out")
+    assert any(
+        "model_final" in os.listdir(os.path.join(tmp_path / "out", d))
+        for d in out_dirs
+    )
