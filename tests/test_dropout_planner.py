@@ -1,0 +1,149 @@
+"""Fast traversal-dropout path: the DropoutPlanner's incremental
+relation-graph weight masks must be exactly equivalent to the full per-round
+rebuild (ultraquery.py:199-203) — same surviving relation edge set, same
+executor outputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ultra_tpu import tasks
+from ultra_tpu.data.synthetic import random_kg_triples, synthetic_graph, with_inverses
+from ultra_tpu.models.nbfnet import NBFNetConfig, UltraConfig
+from ultra_tpu.query import ops
+from ultra_tpu.query.executor import (
+    DropoutPlanner,
+    QueryConfig,
+    execute,
+    graphs_for_slots,
+    simulate_symbolic,
+)
+from ultra_tpu.train.loop import init_ultra_params
+
+L = 8
+
+
+def edge_set(ei, et):
+    return set(zip(ei[0].tolist(), ei[1].tolist(), et.tolist()))
+
+
+@pytest.mark.parametrize("seed,shape", [(0, (40, 6, 150)), (1, (200, 12, 1200))])
+def test_relgraph_masker_matches_rebuild(seed, shape):
+    v, rr, t = shape
+    trip = random_kg_triples(v, rr, t, seed=seed)
+    ei, et = with_inverses(trip, rr)
+    r = 2 * rr
+    e = ei.shape[1]
+    base_ei, base_et = tasks.build_relation_graph_arrays(ei, et, v, r)
+    masker = tasks.RelGraphMasker(ei, et, v, r, base_ei, base_et)
+    rng = np.random.default_rng(seed + 100)
+    for ratio in (0.0, 0.05, 0.3, 0.7):
+        drop = np.nonzero(rng.random(e) < ratio)[0]
+        live = np.ones(e, bool)
+        live[drop] = False
+        ref_ei, ref_et = tasks.build_relation_graph_arrays(ei, et, v, r, live=live)
+        w = masker.edge_weights(drop)
+        got = edge_set(
+            np.stack([base_ei[0][w > 0], base_ei[1][w > 0]]), base_et[w > 0]
+        )
+        assert got == edge_set(ref_ei, ref_et)
+
+
+def test_masker_recomputes_rel_arrays_deterministically():
+    trip = random_kg_triples(30, 4, 90, seed=5)
+    ei, et = with_inverses(trip, 4)
+    explicit_ei, explicit_et = tasks.build_relation_graph_arrays(ei, et, 30, 8)
+    m1 = tasks.RelGraphMasker(ei, et, 30, 8)  # recomputes internally
+    assert (m1.rel_src == explicit_ei[0]).all()
+    assert (m1.rel_dst == explicit_ei[1]).all()
+    assert (m1.rel_type == explicit_et).all()
+
+
+def _query_setup():
+    graph, ei, et = synthetic_graph(
+        num_nodes=25, num_direct_rel=4, num_triples=120, seed=11
+    )
+    cfg = UltraConfig(
+        relation_model=NBFNetConfig(input_dim=16, hidden_dims=(16, 16), num_relation=4),
+        entity_model=NBFNetConfig(
+            input_dim=16, hidden_dims=(16, 16), num_relation=1, project_relations=True
+        ),
+    )
+    params = init_ultra_params(cfg, jax.random.key(3))
+    host = {
+        "edge_index": ei,
+        "edge_type": et,
+        "num_nodes": graph.num_nodes,
+        "num_relations": graph.num_relations,
+        "e_pad": graph.num_edges_padded,
+    }
+    rng = np.random.default_rng(7)
+    v, r = graph.num_nodes, graph.num_relations
+    qs = [
+        np.array(
+            [3, ops.PROJECTION | 1, ops.PROJECTION | 2, ops.STOP], dtype=np.int64
+        ),
+        np.array(
+            [5, ops.PROJECTION | 0, 9, ops.PROJECTION | 3, ops.INTERSECTION | 2,
+             ops.STOP],
+            dtype=np.int64,
+        ),
+        np.array(
+            [2, ops.PROJECTION | 5, ops.NEGATION, 4, ops.PROJECTION | 6,
+             ops.UNION | 2, ops.STOP],
+            dtype=np.int64,
+        ),
+    ]
+    kind, operand = ops.decompose(ops.pad_queries(qs, L))
+    return graph, host, cfg, params, kind, operand
+
+
+def test_fast_path_matches_slow_path():
+    graph, host, cfg, params, kind, operand = _query_setup()
+    qcfg = QueryConfig(dropout_ratio=0.5)
+    rel_pad = graph.relation_graph.num_edges_padded
+
+    plan_slow = simulate_symbolic(
+        kind, operand, host, qcfg, np.random.default_rng(42), rel_pad_to=rel_pad,
+        training=True,
+    )
+    planner = DropoutPlanner(host)
+    plan_fast = simulate_symbolic(
+        kind, operand, host, qcfg, np.random.default_rng(42), training=True,
+        planner=planner,
+    )
+
+    for ws, wf in zip(plan_slow.slot_weights, plan_fast.slot_weights):
+        assert (ws is None) == (wf is None)
+        if ws is not None:
+            np.testing.assert_array_equal(ws, wf)
+
+    # surviving relation edge sets agree slot by slot
+    for rg_slow, w_rel in zip(plan_slow.slot_rel_graphs, plan_fast.slot_rel_graphs):
+        if rg_slow is None:
+            assert w_rel is None
+            continue
+        assert isinstance(w_rel, np.ndarray)
+        base_m = planner.masker
+        got = edge_set(
+            np.stack([base_m.rel_src[w_rel > 0], base_m.rel_dst[w_rel > 0]]),
+            base_m.rel_type[w_rel > 0],
+        )
+        live_slow = np.asarray(rg_slow.edge_weight) > 0
+        sei = np.asarray(rg_slow.edge_index)
+        want = edge_set(sei[:, live_slow], np.asarray(rg_slow.edge_type)[live_slow])
+        assert got == want
+
+    # identical executor outputs end-to-end
+    out_slow = execute(
+        params, cfg, qcfg, graphs_for_slots(graph, plan_slow), jnp.asarray(kind),
+        jnp.asarray(operand),
+    )
+    out_fast = execute(
+        params, cfg, qcfg, graphs_for_slots(graph, plan_fast), jnp.asarray(kind),
+        jnp.asarray(operand),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_slow), np.asarray(out_fast), rtol=1e-5, atol=1e-5
+    )

@@ -233,27 +233,48 @@ def symbolic_traversal_host(h_sets, r_index, edge_index, edge_type, live):
 def traversal_dropout_host(
     h_sets, r_index, edge_index, edge_type, live, num_relations,
     rng, dropout_ratio, more_dropout=0.0, inverse_rel_plus_one=False,
+    matchers=None, degrees=None,
 ):
-    """Edge ids to drop for this projection round (ultraquery.py:34-83)."""
+    """Edge ids to drop for this projection round (ultraquery.py:34-83).
+
+    ``matchers``/``degrees``: optional round-independent precomputations
+    (see DropoutPlanner) — dropout always starts from the original graph
+    (live == all ones in that caller), so the match tables and degree
+    counts never change between rounds.
+    """
     sample, h_index = np.nonzero(h_sets)
     r = np.asarray(r_index)[sample]
 
-    matcher_d = tasks.EdgeMatcher(np.stack([edge_index[0], edge_type]).astype(np.int64))
+    if matchers is None:
+        matcher_d = tasks.EdgeMatcher(
+            np.stack([edge_index[0], edge_type]).astype(np.int64)
+        )
+        matcher_i = tasks.EdgeMatcher(
+            np.stack([edge_type, edge_index[1]]).astype(np.int64)
+        )
+    else:
+        matcher_d, matcher_i = matchers
     direct_ids, _ = matcher_d.query(np.stack([h_index, r]))
     if inverse_rel_plus_one:
         inv_r = r ^ 1
     else:
         half = num_relations // 2
         inv_r = np.where(r >= half, r - half, r + half)
-    matcher_i = tasks.EdgeMatcher(np.stack([edge_type, edge_index[1]]).astype(np.int64))
     inverse_ids, _ = matcher_i.query(np.stack([inv_r, h_index]))
 
     ids = np.concatenate([direct_ids, inverse_ids])
     ids = ids[live[ids]]
 
     # never drop edges whose endpoints have degree <= 1 (ultraquery.py:56-62)
-    deg_h = np.bincount(edge_index[0], weights=live.astype(np.int64), minlength=h_sets.shape[1])
-    deg_t = np.bincount(edge_index[1], weights=live.astype(np.int64), minlength=h_sets.shape[1])
+    if degrees is None:
+        deg_h = np.bincount(
+            edge_index[0], weights=live.astype(np.int64), minlength=h_sets.shape[1]
+        )
+        deg_t = np.bincount(
+            edge_index[1], weights=live.astype(np.int64), minlength=h_sets.shape[1]
+        )
+    else:
+        deg_h, deg_t = degrees
     must_keep = (deg_h[edge_index[0, ids]] <= 1) | (deg_t[edge_index[1, ids]] <= 1)
     ids = ids[~must_keep]
     ids = ids[rng.random(len(ids)) <= dropout_ratio]
@@ -266,8 +287,52 @@ def traversal_dropout_host(
     return ids
 
 
+class DropoutPlanner:
+    """Round-independent precomputation for training-time traversal dropout.
+
+    The per-projection host pipeline (dropout match -> relation-graph rebuild
+    -> Pallas re-plan) costs ~0.7 s/round on FB15k-237-sized graphs when done
+    from scratch (CLAUDE.md perf notes). Everything in it except the random
+    draw is a pure function of the *base* graph, because dropout is applied
+    per round from the original edge set (ultraquery.py:196-203):
+
+    - the direct/inverse EdgeMatchers and endpoint degrees used by
+      traversal_dropout_host (two O(E log E) sorts per call otherwise);
+    - a tasks.RelGraphMasker turning each round's dropped-edge set into a
+      weight mask over the **base** relation graph in O(|dropped|) — valid
+      because dropout only removes KG edges, so the rebuilt relation graph is
+      always a sub-edge-set of the base one, and weight 0 == absent for every
+      kernel (graph.py). The base relation graph's Pallas plan and jit trace
+      are then shared by all slots and all rounds.
+
+    ``rel_edge_index/rel_edge_type`` must be the exact arrays the attached
+    base relation graph was built from (same order); if omitted they are
+    recomputed with tasks.build_relation_graph_arrays (deterministic).
+    """
+
+    def __init__(self, graph_host: dict, rel_edge_index=None, rel_edge_type=None):
+        ei = np.asarray(graph_host["edge_index"])
+        et = np.asarray(graph_host["edge_type"])
+        v = graph_host["num_nodes"]
+        self.matchers = (
+            tasks.EdgeMatcher(np.stack([ei[0], et]).astype(np.int64)),
+            tasks.EdgeMatcher(np.stack([et, ei[1]]).astype(np.int64)),
+        )
+        self.degrees = (
+            np.bincount(ei[0], minlength=v),
+            np.bincount(ei[1], minlength=v),
+        )
+        self.masker = tasks.RelGraphMasker(
+            ei, et, v, graph_host["num_relations"], rel_edge_index, rel_edge_type
+        )
+
+
 class SymbolicPlan:
-    """Per-slot dropped-edge weights + rebuilt relation graphs for a batch."""
+    """Per-slot dropped-edge weights + rebuilt relation graphs for a batch.
+
+    ``slot_rel_graphs`` entries are either full Graphs (slow rebuild path) or
+    1-D weight arrays over the base relation graph's edges (DropoutPlanner
+    fast path)."""
 
     def __init__(self, slot_weights: List[np.ndarray], slot_rel_graphs: List):
         self.slot_weights = slot_weights
@@ -283,6 +348,7 @@ def simulate_symbolic(
     rel_pad_to: Optional[int] = None,
     training: bool = True,
     rel_plan_template: Optional[dict] = None,  # {rb, chunk, pad_chunks_to}
+    planner: Optional[DropoutPlanner] = None,
 ):
     """Run the boolean stack machine slot-synchronously on the host, applying
     traversal dropout before each projection slot (training). Returns per-slot
@@ -290,6 +356,11 @@ def simulate_symbolic(
 
     graph_host: dict with edge_index (2,E live), edge_type, num_nodes,
     num_relations, e_pad, inverse_rel_plus_one.
+
+    ``planner``: DropoutPlanner fast path — slot rel entries become weight
+    arrays over the base relation graph instead of rebuilt Graphs
+    (graphs_for_slots handles both), skipping the per-round relation-graph
+    join and Pallas re-plan entirely.
     """
     edge_index = np.asarray(graph_host["edge_index"])
     edge_type = np.asarray(graph_host["edge_type"])
@@ -342,11 +413,14 @@ def simulate_symbolic(
             # graph (apply_projection receives the unmodified graph each
             # round, ultraquery.py:196-203) — not cumulatively
             live = np.ones(e, dtype=bool)
+            drop = np.zeros(0, dtype=np.int64)
             if training and qcfg.dropout_ratio > 0:
                 drop = traversal_dropout_host(
                     h_sets[is_proj], arg[is_proj], edge_index, edge_type, live,
                     num_rel, rng, qcfg.dropout_ratio, qcfg.more_dropout,
                     graph_host.get("inverse_rel_plus_one", False),
+                    matchers=planner.matchers if planner else None,
+                    degrees=planner.degrees if planner else None,
                 )
                 live[drop] = False
             t_sets = symbolic_traversal_host(h_sets, arg, edge_index, edge_type, live)
@@ -354,6 +428,10 @@ def simulate_symbolic(
 
             w = np.zeros(e_pad, dtype=np.float32)
             w[:e][live] = 1.0
+            if planner is not None:
+                slot_weights.append(w)
+                slot_rel_graphs.append(planner.masker.edge_weights(drop))
+                continue
             rel_ei, rel_et = tasks.build_relation_graph_arrays(
                 edge_index, edge_type, v, num_rel, live=live
             )
@@ -386,13 +464,23 @@ def simulate_symbolic(
 
 
 def graphs_for_slots(base_graph: Graph, plan: SymbolicPlan) -> List[Graph]:
-    """Materialize the per-slot Graph list for execute()."""
+    """Materialize the per-slot Graph list for execute().
+
+    Rel entries that are 1-D weight arrays (DropoutPlanner fast path) mask
+    the base relation graph in place — its padded shape, Pallas plan, and
+    jit trace stay shared across slots."""
     out = []
     for w, rg in zip(plan.slot_weights, plan.slot_rel_graphs):
         if w is None:
             out.append(base_graph)
-        else:
-            out.append(
-                base_graph.replace(edge_weight=jnp.asarray(w), relation_graph=rg)
+            continue
+        if isinstance(rg, np.ndarray):
+            base_rel = base_graph.relation_graph
+            pad = base_rel.num_edges_padded - len(rg)
+            rg = base_rel.replace(
+                edge_weight=jnp.asarray(np.pad(rg, (0, pad)))
             )
+        out.append(
+            base_graph.replace(edge_weight=jnp.asarray(w), relation_graph=rg)
+        )
     return out

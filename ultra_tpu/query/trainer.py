@@ -28,6 +28,7 @@ from ultra_tpu.query import metrics as qmetrics
 from ultra_tpu.query import ops
 from ultra_tpu.query.datasets import QueryDataset, QueryGraph
 from ultra_tpu.query.executor import (
+    DropoutPlanner,
     QueryConfig,
     execute,
     graphs_for_slots,
@@ -244,6 +245,9 @@ def train_queries(
         "inverse_rel_plus_one": qg_train.inverse_rel_plus_one,
     }
     valid_graph = prepare_query_graph(dataset.graphs[1])
+    # fast dropout path: per-round relation-graph edits become weight masks
+    # over base_graph.relation_graph (one shared Pallas plan / jit trace)
+    planner = DropoutPlanner(graph_host)
 
     optimizer = make_optimizer(lr=float(cfg["optimizer"].get("lr", 5e-4)))
     state = init_train_state(params, optimizer)
@@ -269,19 +273,9 @@ def train_queries(
                 if len(take) < batch_size:
                     take = np.concatenate([take, perm[: batch_size - len(take)]])
                 kind, operand = ops.decompose(dataset.queries[take])
-                rel_plans = base_graph.relation_graph.plans
                 plan = simulate_symbolic(
                     kind, operand, graph_host, qcfg, rng, rel_pad_to=rel_pad,
-                    training=True,
-                    rel_plan_template=(
-                        {
-                            "rb": rel_plans.dst.rb_reduce,
-                            "chunk": rel_plans.dst.chunk,
-                            "pad_chunks_to": rel_plans.dst.num_chunks,
-                        }
-                        if rel_plans is not None
-                        else None
-                    ),
+                    training=True, planner=planner,
                 )
                 slot_graphs = graphs_for_slots(base_graph, plan)
                 target = answers_to_mask(

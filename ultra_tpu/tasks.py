@@ -304,6 +304,125 @@ def build_relation_graph_arrays(
     return rel_edge_index.astype(np.int64), rel_edge_type.astype(np.int64)
 
 
+class RelGraphMasker:
+    """O(|dropped|) relation-graph updates under traversal dropout.
+
+    Traversal dropout (ultraquery.py:34-83) only *removes* KG edges, and the
+    relation graph's edge set is monotone in the KG edge set, so every
+    post-dropout relation graph (ultraquery.py:201-203 rebuild) is a
+    sub-edge-set of the base one. Instead of re-running the full incidence
+    join per projection round, precompute the pairwise incidence-intersection
+    counts ``C[type][r1, r2]`` once (four R x R matmuls of the dense node x
+    relation incidence matrices) and per round apply the low-rank update
+
+        C' = C - Rm^T M - M^T Rm + Rm^T Rm
+
+    where ``Rm`` holds only the (node, relation) incidences *emptied* by that
+    round's dropped edges (an incidence empties iff all its edges dropped). A
+    base relation edge survives iff its updated count stays positive. The
+    result is a weight mask over the base relation graph — weight 0 == absent
+    (see graph.py Graph.edge_weight contract) — so the device plan and jit
+    trace are shared across every dropout round: no rebuild, no re-planning.
+
+    ~25 ms/round on FB15k-237-sized graphs vs ~740 ms for the native rebuild
+    + Pallas re-plan it replaces.
+    """
+
+    def __init__(
+        self, edge_index, edge_type, num_nodes, num_relations,
+        rel_edge_index=None, rel_edge_type=None,
+    ):
+        ei = np.asarray(edge_index, dtype=np.int64)
+        et = np.asarray(edge_type, dtype=np.int64)
+        v, r = int(num_nodes), int(num_relations)
+        self.num_relations = r
+        # per-edge incidence keys + per-incidence edge counts (sorted keys)
+        self.hkey = ei[0] * r + et
+        self.tkey = ei[1] * r + et
+        self.hk_uniq, self.hk_cnt = np.unique(self.hkey, return_counts=True)
+        self.tk_uniq, self.tk_cnt = np.unique(self.tkey, return_counts=True)
+        # dense incidence (counts fit exactly in f32: <= num_nodes < 2^24)
+        h = np.zeros((v, r), np.float32)
+        h[ei[0], et] = 1.0
+        t = np.zeros((v, r), np.float32)
+        t[ei[1], et] = 1.0
+        self.h_inc, self.t_inc = h, t
+
+        if rel_edge_index is None:
+            rel_edge_index, rel_edge_type = build_relation_graph_arrays(
+                ei, et, v, r
+            )
+        self.rel_src = np.asarray(rel_edge_index[0], dtype=np.int64)
+        self.rel_dst = np.asarray(rel_edge_index[1], dtype=np.int64)
+        self.rel_type = np.asarray(rel_edge_type, dtype=np.int64)
+        c = np.stack([h.T @ h, t.T @ t, h.T @ t, t.T @ h])  # h2h,t2t,h2t,t2h
+        self.base_counts = c[self.rel_type, self.rel_src, self.rel_dst]
+        assert (self.base_counts >= 1.0).all(), "base rel edge with zero count"
+
+    @property
+    def num_rel_edges(self) -> int:
+        return len(self.rel_type)
+
+    def edge_weights(self, dropped_ids: np.ndarray) -> np.ndarray:
+        """(M,) float32 weights over the base relation-graph edges after
+        dropping KG edges ``dropped_ids``: 1.0 survives, 0.0 dead."""
+        r = self.num_relations
+        m = self.num_rel_edges
+        dropped_ids = np.asarray(dropped_ids)
+        if len(dropped_ids) == 0:
+            return np.ones(m, np.float32)
+
+        def emptied(keys, uq, cnt):
+            dk, dcnt = np.unique(keys, return_counts=True)
+            pos = np.searchsorted(uq, dk)
+            gone = dk[cnt[pos] == dcnt]
+            return gone // r, gone % r
+
+        hn, hr = emptied(self.hkey[dropped_ids], self.hk_uniq, self.hk_cnt)
+        tn, tr = emptied(self.tkey[dropped_ids], self.tk_uniq, self.tk_cnt)
+        if len(hn) == 0 and len(tn) == 0:
+            return np.ones(m, np.float32)
+
+        h, t = self.h_inc, self.t_inc
+        # cross terms Rm_a^T Rm_b on node-compacted removed-incidence matrices
+        nodes = np.unique(np.concatenate([hn, tn]))
+        rh = np.zeros((len(nodes), r), np.float32)
+        rt = np.zeros((len(nodes), r), np.float32)
+        rh[np.searchsorted(nodes, hn), hr] = 1.0
+        rt[np.searchsorted(nodes, tn), tr] = 1.0
+        # Rm^T M terms: accumulate full incidence rows of the removed nodes
+        # onto their removed relation's row (sort + reduceat beats np.add.at
+        # by ~20x at these sizes); both targets of each removed side share one
+        # pass via column concatenation
+        def rows_accum2(rel_of_row, nodes_of_row):
+            out = np.zeros((r, 2 * r), np.float32)
+            if len(rel_of_row) == 0:
+                return out[:, :r], out[:, r:]
+            order = np.argsort(rel_of_row, kind="stable")
+            rel_s = rel_of_row[order]
+            n_s = nodes_of_row[order]
+            rows = np.concatenate([h[n_s], t[n_s]], axis=1)
+            starts = np.nonzero(np.r_[True, rel_s[1:] != rel_s[:-1]])[0]
+            out[rel_s[starts]] = np.add.reduceat(rows, starts, axis=0)
+            return out[:, :r], out[:, r:]
+
+        a_hh, a_ht = rows_accum2(hr, hn)  # Rh^T H, Rh^T T
+        a_th, a_tt = rows_accum2(tr, tn)  # Rt^T H, Rt^T T
+        rh_rh = rh.T @ rh
+        rt_rt = rt.T @ rt
+        rh_rt = rh.T @ rt
+        d_c = np.stack(
+            [
+                a_hh + a_hh.T - rh_rh,  # h2h: Rh^T H + H^T Rh - Rh^T Rh
+                a_tt + a_tt.T - rt_rt,  # t2t
+                a_ht + a_th.T - rh_rt,  # h2t: Rh^T T + H^T Rt - Rh^T Rt
+                a_th + a_ht.T - rh_rt.T,  # t2h
+            ]
+        )
+        new_counts = self.base_counts - d_c[self.rel_type, self.rel_src, self.rel_dst]
+        return (new_counts > 0.5).astype(np.float32)
+
+
 def build_relation_graph(
     edge_index, edge_type, num_nodes, num_relations, pad_to: Optional[int] = None
 ) -> Graph:
