@@ -26,6 +26,17 @@ def main():
     args, vars_ = config_lib.parse_args()
     cfg = config_lib.load_config(args.config, context=vars_)
 
+    # multi-host launch (the reference's torch.distributed.launch analog,
+    # README.md:248-253): ULTRA_DIST="coordinator:port,num_processes,proc_id"
+    # per process, or rely on Cloud TPU auto-detection by calling
+    # multihost.initialize() yourself before running. Single-process if unset.
+    dist = os.environ.get("ULTRA_DIST")
+    if dist:
+        addr, nproc, pid = dist.split(",")
+        from ultra_tpu.parallel import multihost
+
+        multihost.initialize(addr, int(nproc), int(pid))
+
     logging.basicConfig(level=logging.WARNING, format="%(asctime)s %(message)s")
     workdir = os.path.join(
         os.path.expanduser(cfg.get("output_dir", "./output")),

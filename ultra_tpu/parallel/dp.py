@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ultra_tpu.graph import Graph
 from ultra_tpu.models.nbfnet import UltraConfig, ultra_apply, ultra_score_all
@@ -87,7 +87,7 @@ def make_sharded_train_step(
         mesh=mesh,
         in_specs=(P(), gspec, P(data_axis), wspec),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -131,6 +131,6 @@ def make_sharded_score_step(
         mesh=mesh,
         in_specs=(P(), gspec, P(data_axis)),
         out_specs=(P(data_axis), P(data_axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

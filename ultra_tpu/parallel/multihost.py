@@ -1,14 +1,16 @@
-"""Multi-host (pod-slice) utilities: single-controller JAX initialization
-and cross-process metric gathering.
+"""Multi-host (pod-slice) utilities: single-controller JAX initialization,
+per-process data loading, and cross-process metric gathering.
 
-Replaces the reference's NCCL bootstrap + zero-padded all_reduce concat
-idiom (util.py:84-141, run.py:155-186): under JAX the global mesh spans all
-processes' devices; gradient/boundary collectives ride ICI inside jit
-(ultra_tpu/parallel/dp.py), and eval metric vectors gather with one
-process_allgather over DCN.
+Replaces the reference's NCCL bootstrap + DistributedSampler + zero-padded
+all_reduce concat idiom (util.py:84-141, run.py:32-34, run.py:155-186):
+under JAX the global mesh spans all processes' devices; each process loads
+only its shard of supervision triples/queries (shard_indices), lifts its
+local batch into a global sharded jax.Array (host_local_batch_to_global),
+gradient/boundary collectives ride ICI inside jit (ultra_tpu/parallel/dp.py),
+and eval metric vectors gather with one process_allgather over DCN.
 
-Not exercisable on this single-host dev box — shapes and semantics are
-covered by the virtual-mesh tests; run on a real slice via
+Exercised by a real 2-process CPU cluster in tests/test_multiprocess.py
+(localhost Gloo coordinator); run on a real slice via
 ``jax.distributed.initialize`` (auto-detected on Cloud TPU).
 """
 
@@ -41,6 +43,55 @@ def process_index() -> int:
 
 def is_coordinator() -> bool:
     return jax.process_index() == 0
+
+
+def per_process_rng(seed: int) -> np.random.Generator:
+    """Rank-coupled RNG for negative sampling / shuffling, mirroring the
+    reference's ``torch.manual_seed(seed + rank)`` (run.py:234)."""
+    return np.random.default_rng(seed + jax.process_index())
+
+
+def shard_indices(
+    num_samples: int,
+    epoch: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    process_id: Optional[int] = None,
+    num_processes: Optional[int] = None,
+) -> np.ndarray:
+    """This process's sample indices for one epoch — DistributedSampler
+    semantics (run.py:32-34): every process draws the SAME epoch-seeded
+    permutation, the index list is padded by wrapping so all ranks get equal
+    counts (keeps global batch shapes static), and rank p takes the strided
+    slice ``[p::P]``."""
+    p = jax.process_index() if process_id is None else process_id
+    world = jax.process_count() if num_processes is None else num_processes
+    idx = np.arange(num_samples)
+    if shuffle:
+        idx = np.random.default_rng(seed + epoch).permutation(idx)
+    total = -(-num_samples // world) * world
+    if total > num_samples:
+        idx = np.concatenate([idx, idx[: total - num_samples]])
+    return idx[p::world]
+
+
+def host_local_batch_to_global(mesh, local, spec=None):
+    """Lift this process's local batch rows into a global jax.Array sharded
+    over the mesh 'data' axis (leading dim). ``local`` on process p must hold
+    rows ``[p*B/P, (p+1)*B/P)`` of the logical global batch (process-ordered
+    concatenation along the sharded axis). Works single-process too (plain
+    device_put with the same sharding), so train loops are process-count
+    agnostic."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if spec is None:
+        spec = PartitionSpec("data")
+    local = np.asarray(local)
+    if jax.process_count() == 1:
+        return jax.device_put(local, NamedSharding(mesh, spec))
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(local, mesh, spec)
 
 
 def gather_ranks(local: np.ndarray) -> np.ndarray:

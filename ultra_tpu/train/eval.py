@@ -114,6 +114,28 @@ def evaluate(
         rng = rng or np.random.default_rng(0)
         trips = trips[rng.choice(len(trips), size=limit, replace=False)]
 
+    return compute_metrics(
+        metrics,
+        *collect_rankings(
+            params, cfg, graph, trips, filtered_index,
+            batch_size=batch_size, cache_relations=cache_relations,
+        ),
+    )
+
+
+def collect_rankings(
+    params,
+    cfg: UltraConfig,
+    graph: Graph,
+    trips: np.ndarray,
+    filtered_index: tasks.GraphIndex,
+    batch_size: int = 8,
+    cache_relations: Optional[bool] = None,
+):
+    """Raw filtered rank / negative-count vectors for a triple list —
+    the per-process unit of distributed evaluation (each process runs this
+    on its shard, then rank vectors concat across hosts, run.py:155-186).
+    Returns (ranking, num_negative, ranking_tail, num_negative_tail)."""
     if cache_relations is None:
         cache_relations = len(trips) / batch_size > graph.num_relations / 64
     rel_reprs_all = (
@@ -149,13 +171,11 @@ def evaluate(
         tail_rankings.append(t_rank)
         num_tail_negs.append(num_t_neg)
 
-    all_ranking = np.concatenate(rankings)
-    all_num_negative = np.concatenate(num_negatives)
-    all_ranking_t = np.concatenate(tail_rankings)
-    all_num_negative_t = np.concatenate(num_tail_negs)
-
-    return compute_metrics(
-        metrics, all_ranking, all_num_negative, all_ranking_t, all_num_negative_t
+    return (
+        np.concatenate(rankings),
+        np.concatenate(num_negatives),
+        np.concatenate(tail_rankings),
+        np.concatenate(num_tail_negs),
     )
 
 

@@ -272,13 +272,40 @@ def run_link_prediction(
     task_name = cfg["task"].get("name", "TransductiveInference")
     filtered = build_filtered_index(dataset, ds_name, task_name)
 
+    metrics_list = default_metrics(ds_name, cfg["task"].get("metric", ("mr", "mrr", "hits@10")))
+    batch_size = int(cfg["train"].get("batch_size", 8))
+
+    if jax.process_count() > 1:
+        # multi-host: per-process data shards, sharded train step, allgather
+        # eval (the torch.distributed.launch path of the reference)
+        from ultra_tpu.train.distributed import evaluate_distributed, train_distributed
+
+        train_index = tasks.GraphIndex.build(
+            dataset.train.edge_index, dataset.train.edge_type,
+            dataset.train.num_nodes, dataset.train.num_relations,
+        )
+        params = train_distributed(
+            cfg["train"], cfg["task"], ultra_cfg, params,
+            graphs["train"], train_index, triples_of(dataset.train),
+            valid_triples=triples_of(dataset.valid),
+            valid_graph=graphs["valid"], valid_filtered=filtered["valid"],
+            seed=seed, lr=float(cfg["optimizer"].get("lr", 5e-4)),
+        )
+        results = {}
+        for split in ("valid", "test"):
+            results[split] = evaluate_distributed(
+                params, ultra_cfg, graphs[split],
+                triples_of(getattr(dataset, split)), filtered[split],
+                batch_size=batch_size, metrics=metrics_list,
+            )
+            logger.warning("%s metrics: %s", split, results[split])
+        return results
+
     params = train_and_validate(
         cfg, ultra_cfg, params, graphs, dataset, filtered, workdir,
         seed=seed, dataset_name=ds_name,
     )
 
-    metrics_list = default_metrics(ds_name, cfg["task"].get("metric", ("mr", "mrr", "hits@10")))
-    batch_size = int(cfg["train"].get("batch_size", 8))
     results = {}
     for split in ("valid", "test"):
         results[split] = eval_lib.evaluate(
