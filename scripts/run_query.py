@@ -21,6 +21,16 @@ def main():
     args, vars_ = config_lib.parse_args()
     cfg = config_lib.load_config(args.config, context=vars_)
 
+    # multi-host launch (reference: torch.distributed.launch, README.md:248):
+    # ULTRA_DIST="coordinator:port,num_processes,proc_id"; evaluation shards
+    # queries across processes (query_utils.py:238-282 gather semantics)
+    dist = os.environ.get("ULTRA_DIST")
+    if dist:
+        addr, nproc, pid = dist.split(",")
+        from ultra_tpu.parallel import multihost
+
+        multihost.initialize(addr, int(nproc), int(pid))
+
     logging.basicConfig(level=logging.WARNING, format="%(asctime)s %(message)s")
     logger = logging.getLogger("ultra_tpu")
     workdir = os.path.join(

@@ -52,6 +52,35 @@ def main():
     )
     params = init_ultra_params(cfg, jax.random.key(1))
 
+    if mode == "query":
+        import tempfile
+
+        sys.path.insert(0, "/root/repo/tests")
+        from test_query_datasets import write_transductive_fixture
+
+        from ultra_tpu.query import datasets as qds
+        from ultra_tpu.query.executor import QueryConfig
+        from ultra_tpu.query.trainer import evaluate_queries, prepare_query_graph
+
+        root = tempfile.mkdtemp(prefix=f"qfix{pid}-")
+        write_transductive_fixture(root, name="toy-betae")
+
+        class ToyBetae(qds.LogicalQueryDataset):
+            name = "toy-betae"
+
+        ds = ToyBetae(root).load()
+        qgraph = prepare_query_graph(ds.graphs[2], with_plans=False)
+        qcfg = QueryConfig(dropout_ratio=0.0)
+        qcfg_cfg = cfg  # reuse the small UltraConfig/params from above
+        (_, _), (_, _), (lo, hi) = ds.split_ranges()
+        m = evaluate_queries(
+            params, qcfg_cfg, qcfg, qgraph, ds, np.arange(lo, hi), batch_size=2,
+            metric_names=("mrr", "hits@10"),
+        )
+        for k in sorted(m):
+            print(f"RESULT {k} {m[k]:.8f}", flush=True)
+        return
+
     if mode == "trainer":
         from ultra_tpu.train.distributed import evaluate_distributed, train_distributed
 

@@ -202,6 +202,48 @@ def _trainer_ground_truth():
     return checksum, m
 
 
+def test_two_process_query_eval_matches_single_process():
+    """evaluate_queries shards queries over a REAL 2-process cluster and its
+    gathered metrics equal the single-process run (reference gather_results
+    semantics, query_utils.py:238-282)."""
+    import tempfile
+
+    r0, r1 = _run_workers("query")
+    assert r0 == r1, (r0, r1)
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_query_datasets import write_transductive_fixture
+
+    from ultra_tpu.query import datasets as qds
+    from ultra_tpu.query.executor import QueryConfig
+    from ultra_tpu.query.trainer import evaluate_queries, prepare_query_graph
+
+    root = tempfile.mkdtemp(prefix="qfix-ref-")
+    write_transductive_fixture(root, name="toy-betae")
+
+    class ToyBetae(qds.LogicalQueryDataset):
+        name = "toy-betae"
+
+    ds = ToyBetae(root).load()
+    cfg = UltraConfig(
+        relation_model=NBFNetConfig(input_dim=32, hidden_dims=(32, 32), num_relation=4),
+        entity_model=NBFNetConfig(
+            input_dim=32, hidden_dims=(32, 32), num_relation=1, project_relations=True
+        ),
+    )
+    params = init_ultra_params(cfg, jax.random.key(1))
+    qgraph = prepare_query_graph(ds.graphs[2], with_plans=False)
+    (_, _), (_, _), (lo, hi) = ds.split_ranges()
+    m_ref = evaluate_queries(
+        params, cfg, QueryConfig(dropout_ratio=0.0), qgraph, ds,
+        np.arange(lo, hi), batch_size=2, metric_names=("mrr", "hits@10"),
+    )
+    got = dict(r.rsplit(None, 1) for r in r0)  # metric keys contain spaces
+    assert set(got) == set(m_ref)
+    for k, v in m_ref.items():
+        assert abs(float(got[k]) - v) < 1e-6, (k, got[k], v)
+
+
 def test_two_process_trainer_loop_matches_replayed_schedule():
     """train_distributed + evaluate_distributed across a REAL 2-process
     cluster == the same schedule replayed single-process."""

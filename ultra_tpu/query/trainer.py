@@ -166,8 +166,25 @@ def evaluate_queries(
     batch_size: int,
     metric_names: Sequence[str] = ("mrr", "hits@1", "hits@3", "hits@10", "mape"),
     restrict_nodes: Optional[np.ndarray] = None,
+    distributed: Optional[bool] = None,
 ) -> Dict[str, float]:
+    """Filtered CLQA evaluation (run_query.py:157-264).
+
+    ``distributed`` (default: on when jax.process_count() > 1) shards
+    ``indices`` across processes and concatenates the per-query metric
+    inputs with process allgathers — the reference's multi-GPU
+    ``gather_results`` (query_utils.py:238-282) rebuilt on DCN; every
+    process returns the full metric dict."""
     from ultra_tpu.train.eval import precompute_relation_representations
+
+    if distributed is None:
+        distributed = jax.process_count() > 1
+    if distributed and jax.process_count() > 1:
+        from ultra_tpu.parallel import multihost
+
+        indices = np.asarray(indices)[
+            multihost.shard_indices(len(indices), epoch=0, shuffle=False)
+        ]
 
     fwd = make_query_forward(ultra_cfg, qcfg.replace(dropout_ratio=0.0))
     v = graph.num_nodes
@@ -202,16 +219,19 @@ def evaluate_queries(
         all_types.append(dataset.types[take])
         all_num_pred.append(num_pred)
 
-    return qmetrics.evaluate(
+    vectors = [
         np.concatenate(all_rank),
         np.concatenate(all_answer_rank),
         np.concatenate(all_easy),
         np.concatenate(all_hard),
         np.concatenate(all_types),
         np.concatenate(all_num_pred),
-        metric_names,
-        dataset.id2type,
-    )
+    ]
+    if distributed and jax.process_count() > 1:
+        from ultra_tpu.parallel import multihost
+
+        vectors = [multihost.gather_ranks(v) for v in vectors]
+    return qmetrics.evaluate(*vectors, metric_names, dataset.id2type)
 
 
 def train_queries(
