@@ -104,7 +104,7 @@ def main():
     rel = jnp.asarray(rng.normal(size=(2 * R_DIRECT, B, D)).astype(np.float32))
 
     def step(x):
-        out = rspmm_pallas_sum("mul", V, graph.plans, rel, x, graph.edge_weight)
+        out = rspmm_pallas_sum("mul", V, None, graph.plans, rel, x, graph.edge_weight)
         return 0.999 * x + 0.001 * out
 
     # chip/tunnel throughput drifts; take the best of two measurement rounds

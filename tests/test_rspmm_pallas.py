@@ -29,7 +29,7 @@ def test_pallas_forward_matches_xla(rng, mul_op):
     graph = attach_plans(graph, rb=32, chunk=64)
 
     out_p = rspmm_pallas_sum(
-        mul_op, v, graph.plans, jnp.asarray(rel), jnp.asarray(x), graph.edge_weight
+        mul_op, v, None, graph.plans, jnp.asarray(rel), jnp.asarray(x), graph.edge_weight
     )
     out_x = generalized_rspmm(
         jnp.asarray(ei), jnp.asarray(et), jnp.asarray(ew),
@@ -68,7 +68,7 @@ def test_pallas_gradients_match_xla(rng, mul_op):
     rel_j, x_j = jnp.asarray(rel), jnp.asarray(x)
 
     def loss_pallas(rel, x):
-        out = rspmm_pallas_sum(mul_op, v, graph.plans, rel, x, graph.edge_weight)
+        out = rspmm_pallas_sum(mul_op, v, None, graph.plans, rel, x, graph.edge_weight)
         return jnp.sum(jnp.sin(out))
 
     def loss_xla(rel, x):
@@ -179,3 +179,30 @@ def test_pallas_minmax_gradients_match_xla(rng, sum_op, mul_op):
     gx = jax.grad(loss_xla, argnums=(0, 1))(rel_j, x_j)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("agg", ["add", "max"])
+def test_precision_highest_plumbs_through(rng, agg):
+    """precision='highest' (exact-f32 MXU mode for parity runs) must flow
+    through forward and both gradient kernels for every aggregator; in
+    interpret mode (CPU) results equal the default-precision path exactly."""
+    ei, et, ew, rel, x = make_inputs(rng, v=40, r=5, e=150)
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0], pad_to=256)
+    graph = attach_plans(graph, rb=32, chunk=64)
+    rel_j, x_j = jnp.asarray(rel), jnp.asarray(x)
+
+    def loss(precision):
+        def f(rel, x):
+            out = rspmm_from_graph(
+                graph, rel, x, sum=agg, mul="mul", precision=precision
+            )
+            out = jnp.where(jnp.isfinite(out), out, 0.0)
+            return jnp.sum(jnp.sin(out))
+
+        return jax.value_and_grad(f, argnums=(0, 1))(rel_j, x_j)
+
+    (l_hi, g_hi), (l_df, g_df) = loss("highest"), loss(None)
+    np.testing.assert_allclose(float(l_hi), float(l_df), rtol=1e-6)
+    for a, b in zip(g_hi, g_df):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -63,6 +63,10 @@ class ConvConfig:
     # cast rspmm operands (node states + relation table) to this dtype:
     # "bfloat16" halves the kernel's gather traffic; accumulation stays f32
     compute_dtype: str | None = None
+    # Pallas MXU matmul precision: None = fast bf16 passes (default MXU
+    # behavior for f32 operands), "highest" = exact f32 (~3-6x matmul cost)
+    # for bit-level parity with the reference's f32 CPU/CUDA kernels
+    precision: str | None = None
 
 
 _MESSAGE2MUL = {"transe": "add", "distmult": "mul"}  # layers.py:16-19
@@ -180,38 +184,44 @@ def conv_apply(
     ax = cfg.edge_axis
     if cfg.aggregate_func == "sum":
         update = _combine(
-            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend, use_plans=use_plans), ax
+            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend, use_plans=use_plans,
+                            precision=cfg.precision), ax
         )
         update = update + boundary
     elif cfg.aggregate_func == "mean":
         deg = _combine(degree(graph, include_self_loop=False), ax)[:, None, None] + 1.0
         update = _combine(
-            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend, use_plans=use_plans), ax
+            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend, use_plans=use_plans,
+                            precision=cfg.precision), ax
         )
         update = (update + boundary) / deg
     elif cfg.aggregate_func == "max":
         update = _combine(
-            rspmm_from_graph(graph, relation, input, sum="max", mul=mul, backend=backend, use_plans=use_plans),
+            rspmm_from_graph(graph, relation, input, sum="max", mul=mul, backend=backend, use_plans=use_plans,
+                            precision=cfg.precision),
             ax, "max",
         )
         update = jnp.maximum(update, boundary)
     elif cfg.aggregate_func == "pna":
         deg = _combine(degree(graph, include_self_loop=False), ax)[:, None, None] + 1.0
         sum_ = _combine(
-            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend, use_plans=use_plans), ax
+            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend, use_plans=use_plans,
+                            precision=cfg.precision), ax
         )
         sq_sum = _combine(
             rspmm_from_graph(
                 graph, jnp.square(relation), jnp.square(input), sum="add", mul=mul,
-                backend=backend, use_plans=use_plans,
+                backend=backend, use_plans=use_plans, precision=cfg.precision,
             ), ax
         )
         max_ = _combine(
-            rspmm_from_graph(graph, relation, input, sum="max", mul=mul, backend=backend, use_plans=use_plans),
+            rspmm_from_graph(graph, relation, input, sum="max", mul=mul, backend=backend, use_plans=use_plans,
+                            precision=cfg.precision),
             ax, "max",
         )
         min_ = _combine(
-            rspmm_from_graph(graph, relation, input, sum="min", mul=mul, backend=backend, use_plans=use_plans),
+            rspmm_from_graph(graph, relation, input, sum="min", mul=mul, backend=backend, use_plans=use_plans,
+                            precision=cfg.precision),
             ax, "min",
         )
         mean = (sum_ + boundary) / deg

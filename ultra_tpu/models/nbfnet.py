@@ -43,6 +43,9 @@ class NBFNetConfig:
     edge_axis: Optional[str] = None  # mesh axis for edge-partitioned rspmm
     sharded_plans: bool = False  # graph carries per-shard stacked pallas plans
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for kernel operands
+    # Pallas kernel matmul precision: None = fast MXU bf16 passes,
+    # "highest" = exact f32 (for parity runs against the reference kernels)
+    precision: Optional[str] = None
     # roll homogeneous layer stacks into one lax.scan: ~L-fold smaller traces
     # and compile times (important over the remote-compile tunnel); falls back
     # to the unrolled loop for heterogeneous dims or concat_hidden
@@ -72,6 +75,7 @@ class NBFNetConfig:
             edge_axis=self.edge_axis,
             sharded_plans=self.sharded_plans,
             compute_dtype=self.compute_dtype,
+            precision=self.precision,
         )
 
 

@@ -292,7 +292,8 @@ def generalized_rspmm(
 
 
 def rspmm_from_graph(
-    graph, relation, x, *, sum="add", mul="mul", backend="auto", use_plans=True
+    graph, relation, x, *, sum="add", mul="mul", backend="auto", use_plans=True,
+    precision=None,
 ):
     """Convenience wrapper taking an ultra_tpu.graph.Graph.
 
@@ -301,18 +302,26 @@ def rspmm_from_graph(
     does not scale there. ``use_plans=False`` forces the XLA backends (needed
     under edge sharding, where plan tables are replicated but edge arrays are
     shard-local).
+
+    ``precision``: Pallas MXU matmul precision — None (fast, bf16 passes) or
+    'highest' (exact f32, ~3-6x matmul cost) for bit-level parity runs. The
+    XLA backends compute in full f32 already and ignore it.
     """
     if use_plans and graph.plans is not None and backend in ("auto", "pallas"):
+        from ultra_tpu.ops.rspmm_pallas import _prec
+
         if sum == "add":
             from ultra_tpu.ops.rspmm_pallas import rspmm_pallas_sum
 
             return rspmm_pallas_sum(
-                mul, graph.num_nodes, graph.plans, relation, x, graph.edge_weight
+                mul, graph.num_nodes, _prec(precision), graph.plans, relation, x,
+                graph.edge_weight,
             )
         from ultra_tpu.ops.rspmm_pallas import rspmm_pallas_minmax
 
         return rspmm_pallas_minmax(
-            graph.plans, relation, x, graph.edge_weight, mul, sum, graph.num_nodes
+            graph.plans, relation, x, graph.edge_weight, mul, sum, graph.num_nodes,
+            precision=precision,
         )
     return generalized_rspmm(
         graph.edge_index,

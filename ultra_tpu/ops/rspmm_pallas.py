@@ -60,6 +60,24 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _prec(precision):
+    """Normalize a precision knob to a lax.Precision (or None).
+
+    The MXU natively multiplies bf16: with DEFAULT precision an f32 matmul
+    runs as a single bf16 pass, so the one-hot gather/scatter matmuls
+    truncate the gathered VALUES to bf16 (~1.5e-2 mean rel err vs f64 on
+    chip). 'highest' requests full-f32 multi-pass matmuls (~3-6x MXU work)
+    for exact-f32 parity runs; interpret mode (CPU) is always exact."""
+    if precision is None or isinstance(precision, jax.lax.Precision):
+        return precision
+    if isinstance(precision, str):
+        key = precision.lower()
+        if key == "default":
+            return None
+        return jax.lax.Precision(key)
+    raise ValueError(f"bad precision {precision!r}")
+
+
 def auto_rb(num_nodes: int, num_edges: int, num_relations: int, chunk: int = 128,
             edge_index=None) -> int:
     """Pick the tile row-block size minimizing cost per edge:
@@ -237,7 +255,7 @@ def _onehot(ids: jax.Array, width: int, dtype) -> jax.Array:
     return (ids[:, None] == iota).astype(dtype)
 
 
-def _fwd_kernel(mul_op, c, rbr, rbg, f_blk, acc_dtype,
+def _fwd_kernel(mul_op, c, rbr, rbg, f_blk, acc_dtype, prec,
                 reduce_blk_ref, gather_blk_ref,
                 lred_ref, lgat_ref, types_ref, w_ref,
                 x_ref, rel_ref, out_ref):
@@ -255,14 +273,14 @@ def _fwd_kernel(mul_op, c, rbr, rbg, f_blk, acc_dtype,
     w = w_ref[pl.ds(row, 1), :][0].astype(acc_dtype)
 
     g = _onehot(lgat, rbg, x_ref.dtype)
-    xg = jnp.dot(g, x_ref[:], preferred_element_type=acc_dtype)  # (C, F)
+    xg = jnp.dot(g, x_ref[:], preferred_element_type=acc_dtype, precision=prec)  # (C, F)
     gt = _onehot(types, rel_ref.shape[0], rel_ref.dtype)
-    relg = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype)  # (C, F)
+    relg = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype, precision=prec)  # (C, F)
     msg = xg * relg if mul_op == "mul" else xg + relg
     s = _onehot(lred, rbr, acc_dtype) * w[:, None]  # (C, RBr)
     out_ref[:] += jax.lax.dot_general(
         s, msg, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype,
+        preferred_element_type=acc_dtype, precision=prec,
     )
 
 
@@ -275,6 +293,7 @@ def rspmm_pallas_fwd(
     mul: str = "mul",
     f_block: int = 512,
     out_rows: Optional[int] = None,
+    precision=None,
 ) -> jax.Array:
     """Sum-aggregation rspmm via the plan. Returns (n_reduce_pad, F)."""
     n, f = x.shape
@@ -294,7 +313,8 @@ def rspmm_pallas_fwd(
     grid = (nf, k)  # feature-major outer so output revisits stay consecutive
 
     kernel = functools.partial(
-        _fwd_kernel, mul, c, plan.rb_reduce, plan.rb_gather, f_blk, jnp.float32
+        _fwd_kernel, mul, c, plan.rb_reduce, plan.rb_gather, f_blk, jnp.float32,
+        _prec(precision),
     )
 
     out = pl.pallas_call(
@@ -333,7 +353,7 @@ def rspmm_pallas_fwd(
     return out[:rows]
 
 
-def _rel_grad_kernel(mul_op, c, rbx, rbg, acc_dtype,
+def _rel_grad_kernel(mul_op, c, rbx, rbg, acc_dtype, prec,
                      xblk_ref, gblk_ref,
                      ltype_ref, lx_ref, lg_ref, w_ref,
                      x_ref, g_ref, out_ref):
@@ -352,17 +372,17 @@ def _rel_grad_kernel(mul_op, c, rbx, rbg, acc_dtype,
     w = w_ref[pl.ds(row, 1), :][0].astype(acc_dtype)
 
     gg = _onehot(lg_ref[pl.ds(row, 1), :][0], rbg, g_ref.dtype)
-    g_rows = jnp.dot(gg, g_ref[:], preferred_element_type=acc_dtype)  # (C,F)
+    g_rows = jnp.dot(gg, g_ref[:], preferred_element_type=acc_dtype, precision=prec)  # (C,F)
     if mul_op == "mul":
         gx = _onehot(lx_ref[pl.ds(row, 1), :][0], rbx, x_ref.dtype)
-        x_rows = jnp.dot(gx, x_ref[:], preferred_element_type=acc_dtype)
+        x_rows = jnp.dot(gx, x_ref[:], preferred_element_type=acc_dtype, precision=prec)
         contrib = x_rows * g_rows
     else:
         contrib = g_rows
     s = _onehot(ltype, out_ref.shape[0], acc_dtype) * w[:, None]
     out_ref[:] += jax.lax.dot_general(
         s, contrib, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype,
+        preferred_element_type=acc_dtype, precision=prec,
     )
 
 
@@ -375,6 +395,7 @@ def rspmm_pallas_rel_grad(
     *,
     mul: str = "mul",
     f_block: int = 512,
+    precision=None,
 ) -> jax.Array:
     """Returns (num_relations, F) gradient wrt the relation table."""
     n, f = x.shape
@@ -386,7 +407,8 @@ def rspmm_pallas_rel_grad(
 
     k, c = plan.num_chunks, plan.chunk
     kernel = functools.partial(
-        _rel_grad_kernel, mul, c, plan.rb_gather, plan.rb_reduce, jnp.float32
+        _rel_grad_kernel, mul, c, plan.rb_gather, plan.rb_reduce, jnp.float32,
+        _prec(precision),
     )
     out = pl.pallas_call(
         kernel,
@@ -418,7 +440,7 @@ def rspmm_pallas_rel_grad(
 _MINMAX_FILL = 1e38  # finite identity (matmul-safe; reference uses lowest/max)
 
 
-def _minmax_kernel(mul_op, is_min, c, rbr, rbg, acc_dtype,
+def _minmax_kernel(mul_op, is_min, c, rbr, rbg, acc_dtype, prec,
                    reduce_blk_ref, gather_blk_ref,
                    lred_ref, lgat_ref, types_ref, w_ref,
                    x_ref, rel_ref, out_ref):
@@ -442,9 +464,9 @@ def _minmax_kernel(mul_op, is_min, c, rbr, rbg, acc_dtype,
     w = w_ref[pl.ds(row, 1), :][0].astype(acc_dtype)
 
     g = _onehot(lgat, rbg, x_ref.dtype)
-    xg = jnp.dot(g, x_ref[:], preferred_element_type=acc_dtype)
+    xg = jnp.dot(g, x_ref[:], preferred_element_type=acc_dtype, precision=prec)
     gt = _onehot(types, rel_ref.shape[0], rel_ref.dtype)
-    relg = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype)
+    relg = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype, precision=prec)
     msg = xg * relg if mul_op == "mul" else xg + relg
     msg = msg * w[:, None]
     # NOTE: all masks stay 2D — Mosaic cannot reshape 1-bit (bool) vectors
@@ -473,7 +495,7 @@ def _minmax_kernel(mul_op, is_min, c, rbr, rbg, acc_dtype,
     cand = jax.lax.dot_general(
         sel, jnp.where(is_last2, msg, 0.0),
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype,
+        preferred_element_type=acc_dtype, precision=prec,
     )  # (RBr, F); rows without contribution are 0
     has = jax.lax.dot_general(
         sel, jnp.ones((c, 1), acc_dtype),
@@ -493,6 +515,7 @@ def rspmm_pallas_minmax_fwd(
     is_min: bool = False,
     f_block: int = 512,
     out_rows: Optional[int] = None,
+    precision=None,
 ) -> jax.Array:
     """min/max-aggregation rspmm (forward only). Rows with no live edges hold
     -/+1e38 (callers fold the boundary with max/min, layers.py:205-219)."""
@@ -509,7 +532,8 @@ def rspmm_pallas_minmax_fwd(
     k, c = plan.num_chunks, plan.chunk
 
     kernel = functools.partial(
-        _minmax_kernel, mul, is_min, c, plan.rb_reduce, plan.rb_gather, jnp.float32
+        _minmax_kernel, mul, is_min, c, plan.rb_reduce, plan.rb_gather, jnp.float32,
+        _prec(precision),
     )
     out = pl.pallas_call(
         kernel,
@@ -546,7 +570,7 @@ def rspmm_pallas_minmax_fwd(
     return jnp.where(outv == sign * _MINMAX_FILL, sign * jnp.inf, outv)
 
 
-def _minmax_dx_kernel(mul_op, c, rbr, rbg, acc_dtype,
+def _minmax_dx_kernel(mul_op, c, rbr, rbg, acc_dtype, prec,
                       reduce_blk_ref, gather_blk_ref,
                       lred_ref, lgat_ref, types_ref, w_ref,
                       xred_ref, g_ref, out_ref_in, rel_ref, dx_ref):
@@ -567,12 +591,12 @@ def _minmax_dx_kernel(mul_op, c, rbr, rbg, acc_dtype,
     w = w_ref[pl.ds(row, 1), :][0].astype(acc_dtype)
 
     g_sel = _onehot(lgat, rbg, g_ref.dtype)
-    g_rows = jnp.dot(g_sel, g_ref[:], preferred_element_type=acc_dtype)
-    out_rows = jnp.dot(g_sel, out_ref_in[:], preferred_element_type=acc_dtype)
+    g_rows = jnp.dot(g_sel, g_ref[:], preferred_element_type=acc_dtype, precision=prec)
+    out_rows = jnp.dot(g_sel, out_ref_in[:], preferred_element_type=acc_dtype, precision=prec)
     x_sel = _onehot(lred, rbr, xred_ref.dtype)
-    x_rows = jnp.dot(x_sel, xred_ref[:], preferred_element_type=acc_dtype)
+    x_rows = jnp.dot(x_sel, xred_ref[:], preferred_element_type=acc_dtype, precision=prec)
     gt = _onehot(types, rel_ref.shape[0], rel_ref.dtype)
-    rel_rows = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype)
+    rel_rows = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype, precision=prec)
 
     m = x_rows * rel_rows if mul_op == "mul" else x_rows + rel_rows
     live2 = w[:, None] != 0.0
@@ -583,11 +607,11 @@ def _minmax_dx_kernel(mul_op, c, rbr, rbg, acc_dtype,
     s = _onehot(lred, rbr, acc_dtype)
     dx_ref[:] += jax.lax.dot_general(
         s, contrib, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype,
+        preferred_element_type=acc_dtype, precision=prec,
     )
 
 
-def _minmax_drel_kernel(mul_op, c, rbr, rbg, acc_dtype,
+def _minmax_drel_kernel(mul_op, c, rbr, rbg, acc_dtype, prec,
                         reduce_blk_ref, gather_blk_ref,
                         lred_ref, lgat_ref, types_ref, w_ref,
                         xgat_ref, g_ref, out_ref_in, rel_ref, drel_ref):
@@ -608,12 +632,12 @@ def _minmax_drel_kernel(mul_op, c, rbr, rbg, acc_dtype,
     w = w_ref[pl.ds(row, 1), :][0].astype(acc_dtype)
 
     d_sel = _onehot(lred, rbr, g_ref.dtype)
-    g_rows = jnp.dot(d_sel, g_ref[:], preferred_element_type=acc_dtype)
-    out_rows = jnp.dot(d_sel, out_ref_in[:], preferred_element_type=acc_dtype)
+    g_rows = jnp.dot(d_sel, g_ref[:], preferred_element_type=acc_dtype, precision=prec)
+    out_rows = jnp.dot(d_sel, out_ref_in[:], preferred_element_type=acc_dtype, precision=prec)
     x_sel = _onehot(lgat, rbg, xgat_ref.dtype)
-    x_rows = jnp.dot(x_sel, xgat_ref[:], preferred_element_type=acc_dtype)
+    x_rows = jnp.dot(x_sel, xgat_ref[:], preferred_element_type=acc_dtype, precision=prec)
     gt = _onehot(types, rel_ref.shape[0], rel_ref.dtype)
-    rel_rows = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype)
+    rel_rows = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype, precision=prec)
 
     m = x_rows * rel_rows if mul_op == "mul" else x_rows + rel_rows
     live2 = w[:, None] != 0.0
@@ -624,7 +648,7 @@ def _minmax_drel_kernel(mul_op, c, rbr, rbg, acc_dtype,
     drel_ref[:] += jax.lax.dot_general(
         gt.astype(acc_dtype), contrib,
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype,
+        preferred_element_type=acc_dtype, precision=prec,
     )
 
 
@@ -671,29 +695,34 @@ def _minmax_bwd_call(kernel_fn, plan, x_side, g, out_fwd, rel, w_plan,
     return out
 
 
-def rspmm_pallas_minmax(plans, relation, x, edge_weight, mul: str, sum_op: str, num_nodes: int):
+def rspmm_pallas_minmax(plans, relation, x, edge_weight, mul: str, sum_op: str,
+                        num_nodes: int, precision=None):
     """(V, B, D) min/max rspmm with tie-routed custom VJP
-    (operator.cuh:62-77 semantics: every tying edge receives the gradient)."""
-    return _minmax_vjp(mul, sum_op, num_nodes, plans, relation, x, edge_weight)
+    (operator.cuh:62-77 semantics: every tying edge receives the gradient).
+    ``precision``: None (fast bf16-pass MXU) or 'highest' (exact f32); the
+    same setting flows to the backward kernels so tie routing stays
+    consistent with the forward."""
+    return _minmax_vjp(mul, sum_op, num_nodes, _prec(precision),
+                       plans, relation, x, edge_weight)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _minmax_vjp(mul, sum_op, num_nodes, plans, relation, x, edge_weight):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _minmax_vjp(mul, sum_op, num_nodes, prec, plans, relation, x, edge_weight):
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
     out = rspmm_pallas_minmax_fwd(
         plans.dst, _flatten(relation), _flatten(x), w_ext,
-        mul=mul, is_min=(sum_op == "min"), out_rows=num_nodes,
+        mul=mul, is_min=(sum_op == "min"), out_rows=num_nodes, precision=prec,
     )
     return out.reshape((num_nodes,) + shape[1:])
 
 
-def _minmax_vjp_fwd(mul, sum_op, num_nodes, plans, relation, x, edge_weight):
-    out = _minmax_vjp(mul, sum_op, num_nodes, plans, relation, x, edge_weight)
+def _minmax_vjp_fwd(mul, sum_op, num_nodes, prec, plans, relation, x, edge_weight):
+    out = _minmax_vjp(mul, sum_op, num_nodes, prec, plans, relation, x, edge_weight)
     return out, (plans, relation, x, edge_weight, out)
 
 
-def _minmax_vjp_bwd(mul, sum_op, num_nodes, res, g):
+def _minmax_vjp_bwd(mul, sum_op, num_nodes, prec, res, g):
     plans, relation, x, edge_weight, out_fwd = res
     if plans.dst.num_chunks == 0:
         return (None, jnp.zeros_like(relation), jnp.zeros_like(x), None)
@@ -717,7 +746,7 @@ def _minmax_vjp_bwd(mul, sum_op, num_nodes, res, g):
     )
     w_plan = jnp.take(w_ext, p.perm, axis=0)
     kern = functools.partial(
-        _minmax_dx_kernel, mul, p.chunk, p.rb_reduce, p.rb_gather, jnp.float32
+        _minmax_dx_kernel, mul, p.chunk, p.rb_reduce, p.rb_gather, jnp.float32, prec
     )
     d_x = _minmax_bwd_call(
         kern, p, x_red, g_gat, out_gat, rel_pad, w_plan,
@@ -738,7 +767,7 @@ def _minmax_vjp_bwd(mul, sum_op, num_nodes, res, g):
     )
     w_plan = jnp.take(w_ext, p.perm, axis=0)
     kern = functools.partial(
-        _minmax_drel_kernel, mul, p.chunk, p.rb_reduce, p.rb_gather, jnp.float32
+        _minmax_drel_kernel, mul, p.chunk, p.rb_reduce, p.rb_gather, jnp.float32, prec
     )
 
     # drel kernel gathers g/out by the REDUCE side: reuse the gather specs by
@@ -932,23 +961,27 @@ def _flatten(a):  # (N, B, D) -> (N, B*D)
     return a.reshape(a.shape[0], -1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def rspmm_pallas_sum(mul: str, num_nodes: int, plans: GraphPlans, relation, x, edge_weight):
-    """out[dst] = sum_e w_e * op(rel[type_e], x[src_e]); shapes (V, B, D)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def rspmm_pallas_sum(mul: str, num_nodes: int, precision, plans: GraphPlans,
+                     relation, x, edge_weight):
+    """out[dst] = sum_e w_e * op(rel[type_e], x[src_e]); shapes (V, B, D).
+    ``precision``: None (fast bf16-pass MXU) or 'highest' (exact f32),
+    applied to forward and both gradient kernels."""
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
     out = rspmm_pallas_fwd(
-        plans.dst, _flatten(relation), _flatten(x), w_ext, mul=mul, out_rows=num_nodes
+        plans.dst, _flatten(relation), _flatten(x), w_ext, mul=mul,
+        out_rows=num_nodes, precision=precision,
     )
     return out.reshape((num_nodes,) + shape[1:])
 
 
-def _fwd(mul, num_nodes, plans, relation, x, edge_weight):
-    out = rspmm_pallas_sum(mul, num_nodes, plans, relation, x, edge_weight)
+def _fwd(mul, num_nodes, precision, plans, relation, x, edge_weight):
+    out = rspmm_pallas_sum(mul, num_nodes, precision, plans, relation, x, edge_weight)
     return out, (plans, relation, x, edge_weight)
 
 
-def _bwd(mul, num_nodes, res, g):
+def _bwd(mul, num_nodes, precision, res, g):
     plans, relation, x, edge_weight = res
     if plans.dst.num_chunks == 0:
         return (None, jnp.zeros_like(relation), jnp.zeros_like(x), None)
@@ -963,10 +996,12 @@ def _bwd(mul, num_nodes, res, g):
         w_ext,
         mul="mul",
         out_rows=x.shape[0],
+        precision=precision,
     ).reshape(shape)
     # d_rel[type] = sum_e w * x[src] * g[dst]  (mul) | sum_e w * g[dst] (add)
     d_rel = rspmm_pallas_rel_grad(
-        plans.dst, _flatten(x), g2, w_ext, relation.shape[0], mul=mul
+        plans.dst, _flatten(x), g2, w_ext, relation.shape[0], mul=mul,
+        precision=precision,
     ).reshape(relation.shape)
     # match primal dtypes (bf16 compute mode feeds bf16 operands)
     return (None, d_rel.astype(relation.dtype), d_x.astype(x.dtype), None)
@@ -986,4 +1021,4 @@ def rspmm_pallas(edge_index, edge_type, edge_weight, relation, x, num_nodes, sum
     live = np.asarray(jax.device_get(edge_weight)) != 0
     plans = GraphPlans.build(ei[:, live], et[live], num_nodes, int(relation.shape[0]))
     w_live = edge_weight[jnp.asarray(np.nonzero(live)[0])]
-    return rspmm_pallas_sum(mul_op, num_nodes, plans, relation, x, w_live)
+    return rspmm_pallas_sum(mul_op, num_nodes, None, plans, relation, x, w_live)

@@ -57,6 +57,7 @@ def model_config_from_dict(model_cfg: dict) -> UltraConfig:
             remove_one_hop=bool(cfg.get("remove_one_hop", False)),
             remat=bool(cfg.get("remat", False)),
             compute_dtype=cfg.get("compute_dtype"),
+            precision=cfg.get("precision"),
             project_relations=project_relations,
         )
 
