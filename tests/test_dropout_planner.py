@@ -147,3 +147,48 @@ def test_fast_path_matches_slow_path():
     np.testing.assert_allclose(
         np.asarray(out_slow), np.asarray(out_fast), rtol=1e-5, atol=1e-5
     )
+
+
+def test_sharded_query_train_step_matches_single_device():
+    """DP UltraQuery training (shard_map over 'data') == single-device step
+    on the same global batch + dropout plan."""
+    from jax.sharding import Mesh
+
+    from ultra_tpu.query.trainer import (
+        make_query_train_step,
+        make_sharded_query_train_step,
+    )
+    from ultra_tpu.train.loop import init_train_state, make_optimizer
+
+    graph, host, cfg, params, kind, operand = _query_setup()
+    # pad batch to 8 rows for the 8-device data axis
+    reps = 8 // kind.shape[0] + 1
+    kind = np.concatenate([kind] * reps)[:8]
+    operand = np.concatenate([operand] * reps)[:8]
+    qcfg = QueryConfig(dropout_ratio=0.5)
+    planner = DropoutPlanner(host)
+    plan = simulate_symbolic(
+        kind, operand, host, qcfg, np.random.default_rng(3), training=True,
+        planner=planner,
+    )
+    slot_graphs = graphs_for_slots(graph, plan)
+    rng = np.random.default_rng(0)
+    target = (rng.random((8, graph.num_nodes)) < 0.05).astype(np.float32)
+
+    opt = make_optimizer(lr=1e-3)
+    kj, oj, tj = jnp.asarray(kind), jnp.asarray(operand), jnp.asarray(target)
+
+    state1 = init_train_state(params, opt)
+    step1 = make_query_train_step(cfg, qcfg, opt, adversarial_temperature=1.0)
+    state1, loss1 = step1(state1, slot_graphs, kj, oj, tj)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    make = make_sharded_query_train_step(cfg, qcfg, opt, mesh,
+                                         adversarial_temperature=1.0)
+    step8 = make(slot_graphs)
+    state8 = init_train_state(params, opt)
+    state8, loss8 = step8(state8, slot_graphs, kj, oj, tj)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state8.params), jax.tree.leaves(state1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5)

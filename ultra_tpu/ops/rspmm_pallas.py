@@ -68,14 +68,18 @@ def _prec(precision):
     truncate the gathered VALUES to bf16 (~1.5e-2 mean rel err vs f64 on
     chip). 'highest' requests full-f32 multi-pass matmuls (~3-6x MXU work)
     for exact-f32 parity runs; interpret mode (CPU) is always exact."""
-    if precision is None or isinstance(precision, jax.lax.Precision):
-        return precision
     if isinstance(precision, str):
-        key = precision.lower()
-        if key == "default":
-            return None
-        return jax.lax.Precision(key)
-    raise ValueError(f"bad precision {precision!r}")
+        precision = None if precision.lower() == "default" else jax.lax.Precision(
+            precision.lower()
+        )
+    if precision is None or precision == jax.lax.Precision.DEFAULT:
+        return None
+    if precision == jax.lax.Precision.HIGHEST:
+        return precision
+    # Mosaic only lowers DEFAULT and HIGHEST (lowering.py dot_general rule)
+    raise ValueError(
+        f"pallas rspmm supports precision None/'default' or 'highest', got {precision}"
+    )
 
 
 def auto_rb(num_nodes: int, num_edges: int, num_relations: int, chunk: int = 128,

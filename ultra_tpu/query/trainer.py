@@ -147,6 +147,59 @@ def make_query_train_step(
     return step
 
 
+def make_sharded_query_train_step(
+    ultra_cfg: UltraConfig,
+    qcfg: QueryConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    adversarial_temperature: float = 1.0,
+    data_axis: str = "data",
+):
+    """Data-parallel UltraQuery train step over a device mesh (the
+    reference's DDP wrap of run_query.py:71-74, rebuilt with shard_map).
+
+    Queries (kind/operand/target rows) shard over the mesh '{data}' axis;
+    the graph, per-slot dropout weights, and parameters are replicated, so
+    numerics equal the single-device step on the same global batch (dropout
+    here is per-batch, exactly like the single-process trainer — not the
+    reference's per-rank dropout). The projection lax.cond diverges freely
+    per device (no collectives inside), and the loss pmean over '{data}'
+    makes jax.value_and_grad produce replicated global gradients."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_loss(params, slot_graphs, kind, operand, target):
+        pred = execute(params, ultra_cfg, qcfg, list(slot_graphs), kind, operand)
+        loss = query_bce_loss(pred, target, adversarial_temperature)
+        return jax.lax.pmean(loss, data_axis)
+
+    def graph_spec(graphs):
+        return jax.tree.map(lambda _: P(), graphs)
+
+    def make(slot_graphs):
+        sharded = shard_map(
+            local_loss,
+            mesh=mesh,
+            in_specs=(P(), graph_spec(tuple(slot_graphs)), P(data_axis),
+                      P(data_axis), P(data_axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step(state: TrainState, slot_graphs, kind, operand, target):
+            loss, grads = jax.value_and_grad(sharded)(
+                state.params, tuple(slot_graphs), kind, operand, target
+            )
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        return step
+
+    return make
+
+
 def make_query_forward(ultra_cfg: UltraConfig, qcfg: QueryConfig):
     @jax.jit
     def fwd(params, graph: Graph, kind, operand, rel_reprs_all=None):
@@ -243,7 +296,13 @@ def train_queries(
     workdir: str,
     seed: int = 1024,
 ):
-    """Query-answering training loop (run_query.py:53-155)."""
+    """Query-answering training loop (run_query.py:53-155).
+
+    ``cfg["train"]["data_parallel"]: true`` shards each batch's queries over
+    all devices (shard_map 'data' axis; the reference's DDP wrap of the
+    query trainer, run_query.py:71-74). The traversal-dropout plan is
+    per-batch and replicated, so numerics equal the single-device loop;
+    batch_size must divide the device count."""
     train_cfg, task_cfg = cfg["train"], cfg["task"]
     num_epoch = int(train_cfg.get("num_epoch", 0))
     if num_epoch == 0:
@@ -271,7 +330,19 @@ def train_queries(
 
     optimizer = make_optimizer(lr=float(cfg["optimizer"].get("lr", 5e-4)))
     state = init_train_state(params, optimizer)
-    step_fn = make_query_train_step(ultra_cfg, qcfg, optimizer, adv_temp)
+    if bool(train_cfg.get("data_parallel", False)):
+        from jax.sharding import Mesh
+
+        n_dev = jax.device_count()
+        assert batch_size % n_dev == 0, (batch_size, n_dev)
+        mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev), ("data",))
+        step_factory = make_sharded_query_train_step(
+            ultra_cfg, qcfg, optimizer, mesh, adv_temp
+        )
+        step_fn = None  # built lazily from the first batch's slot structure
+    else:
+        step_factory = None
+        step_fn = make_query_train_step(ultra_cfg, qcfg, optimizer, adv_temp)
 
     (tr_lo, tr_hi), (va_lo, va_hi), _ = dataset.split_ranges()
     train_idx = np.arange(tr_lo, tr_hi)
@@ -290,7 +361,7 @@ def train_queries(
             perm = rng.permutation(train_idx)
             for step in range(steps_per_epoch):
                 take = perm[(step * batch_size) % len(perm) :][:batch_size]
-                if len(take) < batch_size:
+                while len(take) < batch_size:  # wrap (tiny datasets: repeat)
                     take = np.concatenate([take, perm[: batch_size - len(take)]])
                 kind, operand = ops.decompose(dataset.queries[take])
                 plan = simulate_symbolic(
@@ -301,6 +372,8 @@ def train_queries(
                 target = answers_to_mask(
                     [dataset.easy_answers[i] for i in take], v
                 ).astype(np.float32)
+                if step_fn is None:
+                    step_fn = step_factory(slot_graphs)
                 state, loss = step_fn(
                     state, slot_graphs, jnp.asarray(kind), jnp.asarray(operand),
                     jnp.asarray(target),
