@@ -202,3 +202,146 @@ exec(open({os.path.join(repo, "scripts", "run_query.py")!r}).read())
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "mrr" in proc.stderr or "mrr" in proc.stdout
+
+
+def test_wikitopics_query_loader(tmp_path):
+    """WikiTopics: train/valid share the training graph (valid restricted to
+    its nodes); the test graph is fully disjoint with its own vocab
+    (datasets_query.py:451-528)."""
+    root = str(tmp_path)
+    path = os.path.join(root, "WikiTopics_QE", "art")
+    os.makedirs(path)
+
+    def wt(fname, triples):
+        with open(os.path.join(path, fname), "w") as f:
+            for h, r, t in triples:
+                f.write(f"{h} {r} {t}\n")
+
+    wt("train_graph.txt", [(0, 0, 1), (1, 1, 2), (2, 0, 3), (3, 1, 4)])
+    # disjoint test vocab: ids 0..3 again but a different graph
+    wt("test_inference.txt", [(0, 0, 2), (2, 1, 3), (3, 0, 1)])
+
+    s1p = ("e", ("r",))
+    q1 = (0, (0,))
+    with open(os.path.join(path, "train_queries.pkl"), "wb") as f:
+        pickle.dump({s1p: {q1}}, f)
+    with open(os.path.join(path, "train_answers_hard.pkl"), "wb") as f:
+        pickle.dump({s1p: {q1: {1}}}, f)
+    for split in ("valid", "test"):
+        with open(os.path.join(path, f"{split}_queries.pkl"), "wb") as f:
+            pickle.dump({s1p: {q1}}, f)
+        with open(os.path.join(path, f"{split}_answers_easy.pkl"), "wb") as f:
+            pickle.dump({s1p: {q1: set()}}, f)
+        with open(os.path.join(path, f"{split}_answers_hard.pkl"), "wb") as f:
+            pickle.dump({s1p: {q1: {2}}}, f)
+
+    ds = qds.WikiTopicsQuery(root, "art").load()
+    assert ds.num_samples == (1, 1, 1)
+    assert ds.graphs[0].num_nodes == 5  # train vocab
+    assert ds.graphs[1].num_nodes == 5 and ds.graphs[1].restrict_nodes is not None
+    assert ds.graphs[2].num_nodes == 4  # disjoint test vocab
+    assert ds.graphs[2].edge_index.shape[1] == 3
+
+
+def test_extended_eval_loader(tmp_path):
+    """Faithfulness eval: train queries re-answered on the larger graphs,
+    answers all hard (datasets_query.py:559-633)."""
+    root = str(tmp_path)
+    path = os.path.join(root, "9999")
+    os.makedirs(path)
+
+    def wt(fname, triples):
+        with open(os.path.join(path, fname), "w") as f:
+            for h, r, t in triples:
+                f.write(f"{h} {r} {t}\n")
+
+    wt("train_graph.txt", [(0, 0, 1), (1, 1, 2), (2, 0, 3)])
+    wt("val_inference.txt", [(3, 0, 4)])
+    wt("test_inference.txt", [(3, 1, 5)])
+
+    s1p = ("e", ("r",))
+    q1 = (0, (0,))
+    for split in ("train", "valid", "test"):
+        with open(os.path.join(path, f"{split}_queries.pkl"), "wb") as f:
+            pickle.dump({s1p: {q1}}, f)
+        with open(os.path.join(path, f"{split}_answers_hard.pkl"), "wb") as f:
+            pickle.dump({s1p: {q1: {1}}}, f)
+        if split != "train":
+            with open(os.path.join(path, f"{split}_answers_easy.pkl"), "wb") as f:
+                pickle.dump({s1p: {q1: set()}}, f)
+    # extended-eval answer files: train queries' answers on valid/test graphs,
+    # keyed by enumeration index
+    with open(os.path.join(path, "train_answers_valid.pkl"), "wb") as f:
+        pickle.dump({s1p: {0: {1, 4}}}, f)
+    with open(os.path.join(path, "train_answers_test.pkl"), "wb") as f:
+        pickle.dump({s1p: {0: {1, 5}}}, f)
+
+    ds = qds.InductiveFB15k237QueryExtendedEval(root, 9999).load()
+    assert ds.num_samples == (1, 1, 1)
+    assert all(len(e) == 0 for e in ds.easy_answers)  # all answers are hard
+    assert set(ds.hard_answers[1].tolist()) == {1, 4}
+    assert set(ds.hard_answers[2].tolist()) == {1, 5}
+
+
+def test_run_query_many_cli(tmp_path):
+    """Drive scripts/run_query_many.py (zero-shot CLQA sweep + CSV)."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "qdata")
+    os.makedirs(root, exist_ok=True)
+    write_transductive_fixture(root)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_file = tmp_path / "q.yaml"
+    cfg_file.write_text(
+        """
+output_dir: ./out
+dataset:
+  class: {{ dataset }}
+model:
+  logic: product
+  dropout_ratio: 0.25
+  threshold: {{ threshold }}
+  model:
+    relation_model: {input_dim: 16, hidden_dims: [16]}
+    entity_model: {input_dim: 16, hidden_dims: [16]}
+task:
+  name: ComplexQuery
+  adversarial_temperature: 0.2
+  metric: [mrr, hits@10]
+optimizer: {lr: 1.0e-3}
+train:
+  batch_size: {{ bs }}
+  num_epoch: {{ epochs }}
+  batch_per_epoch: {{ bpe }}
+ultra_ckpt: {{ ultra_ckpt }}
+ultraquery_ckpt: {{ qe_ckpt }}
+"""
+    )
+    out_csv = tmp_path / "results.csv"
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        f"""
+import sys
+sys.path.insert(0, {repo!r})
+import tests.conftest
+from ultra_tpu.query import datasets as qds
+
+class ToyBetaeMany(qds.LogicalQueryDataset):
+    name = "toy-betae"
+
+qds.QUERY_DATASETS["ToyBetaeMany"] = ToyBetaeMany
+sys.argv = ["run_query_many.py", "-c", {str(cfg_file)!r},
+            "-d", "ToyBetaeMany", "--root", {root!r}, "--bs", "2",
+            "--output", {str(out_csv)!r}]
+exec(open({os.path.join(repo, "scripts", "run_query_many.py")!r}).read())
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, str(driver)], capture_output=True, text=True,
+        timeout=600, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    content = out_csv.read_text()
+    assert "ToyBetaeMany" in content and "mrr" in content
