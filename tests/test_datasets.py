@@ -153,3 +153,31 @@ def test_split_to_graph_roundtrip(trans_root):
         params, cfg, graph, jnp.asarray(np.array([0, 1])), r_index=jnp.asarray(np.array([0, 1]))
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mtdea_limit_vocab(tmp_path):
+    """MTDEA valid split drops triples with tokens outside the train vocab
+    (limit_vocab, datasets.py:895-944) and num_nodes of valid = valid vocab."""
+    root = str(tmp_path)
+    raw = os.path.join(root, "mtdea", "FBNELL", "FBNELL_v1", "raw")
+    write(os.path.join(raw, "transductive_train.txt"), ["a\tr1\tb", "b\tr2\tc"])
+    write(os.path.join(raw, "inference_graph.txt"), ["x\tr1\ty", "y\tr2\tz"])
+    # second valid triple mentions unseen entity 'q' -> dropped
+    write(
+        os.path.join(raw, "transductive_valid.txt"), ["a\tr2\tc", "a\tr1\tq"]
+    )
+    write(os.path.join(raw, "inf_test.txt"), ["x\tr2\tz"])
+
+    class ToyMTDEA(kg.MTDEAInductive):
+        name = "FBNELL"
+        versions = ["FBNELL_v1"]
+
+        def download(self):
+            raise AssertionError("files exist")
+
+    ds = ToyMTDEA(root, "FBNELL_v1").load()
+    # dropped triple: only one valid target survives
+    assert ds.valid.target_edge_index.shape[1] == 1
+    # valid graph = train graph (valid_on_inf=False), vocab-sized num_nodes
+    assert ds.valid.num_nodes == 3
+    np.testing.assert_array_equal(ds.valid.edge_index, ds.train.edge_index)
