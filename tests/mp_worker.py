@@ -52,6 +52,35 @@ def main():
     )
     params = init_ultra_params(cfg, jax.random.key(1))
 
+    if mode == "edge":
+        # edge-partitioned PALLAS rspmm across the 2-process mesh: stacked
+        # per-shard plans shard over the 'edge' axis spanning both hosts
+        from ultra_tpu.ops.rspmm_pallas import build_sharded_plans
+        from ultra_tpu.parallel.dp import make_sharded_score_step
+
+        e = ei.shape[1]
+        e_pad = graph.num_edges_padded
+        host_edges = (
+            np.pad(ei, ((0, 0), (0, e_pad - e))),
+            np.pad(et, (0, e_pad - e)),
+            np.pad(np.ones(e, np.float32), (0, e_pad - e)),
+        )
+        graph_sp = build_sharded_plans(graph, 2, rb=16, chunk=32, host_edges=host_edges)
+        graph_sp = jax.tree.map(np.asarray, graph_sp)
+        mesh = make_mesh(data=4, edge=2)
+        rng = np.random.default_rng(7)
+        b = 8
+        batch = np.stack(
+            [rng.integers(0, graph.num_nodes, size=b),
+             rng.integers(0, graph.num_nodes, size=b),
+             rng.integers(0, graph.num_relations // 2, size=b)], axis=1,
+        )
+        score_step = make_sharded_score_step(mesh, cfg, graph_sp)
+        t_pred, h_pred = score_step(params, graph_sp, jnp.asarray(batch))
+        print(f"RESULT tsum {float(jnp.sum(t_pred)):.6f}", flush=True)
+        print(f"RESULT hsum {float(jnp.sum(h_pred)):.6f}", flush=True)
+        return
+
     if mode == "query":
         import tempfile
 

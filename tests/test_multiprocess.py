@@ -123,7 +123,13 @@ def _run_workers(mode="step"):
         outs.append(out)
 
     def results(out):
-        return [l.split(None, 1)[1] for l in out.splitlines() if l.startswith("RESULT")]
+        # Gloo logs interleave on stdout and can merge with a RESULT line —
+        # match the marker anywhere in the line
+        found = []
+        for line in out.splitlines():
+            if "RESULT " in line:
+                found.append(line[line.index("RESULT ") + len("RESULT "):])
+        return found
 
     return results(outs[0]), results(outs[1])
 
@@ -200,6 +206,41 @@ def _trainer_ground_truth():
         metrics=("mrr", "mr"),
     )
     return checksum, m
+
+
+def test_two_process_edge_sharded_pallas_scores():
+    """Edge-partitioned Pallas rspmm with the edge axis spanning BOTH
+    processes reproduces the single-process all-node scores (the §2.8
+    graph-partitioning north star, previously virtual-mesh only)."""
+    from ultra_tpu.models.nbfnet import ultra_score_all
+
+    r0, r1 = _run_workers("edge")
+    assert r0 == r1, (r0, r1)
+
+    graph, ei, et = synthetic_graph(
+        num_nodes=24, num_direct_rel=4, num_triples=100, seed=5, pad_edges_to=208
+    )
+    cfg = UltraConfig(
+        relation_model=NBFNetConfig(input_dim=32, hidden_dims=(32, 32), num_relation=4),
+        entity_model=NBFNetConfig(
+            input_dim=32, hidden_dims=(32, 32), num_relation=1, project_relations=True
+        ),
+    )
+    params = init_ultra_params(cfg, jax.random.key(1))
+    rng = np.random.default_rng(7)
+    b = 8
+    batch = np.stack(
+        [rng.integers(0, graph.num_nodes, size=b),
+         rng.integers(0, graph.num_nodes, size=b),
+         rng.integers(0, graph.num_relations // 2, size=b)], axis=1,
+    )
+    t_ref = ultra_score_all(
+        params, cfg, graph, jnp.asarray(batch[:, 0]), r_index=jnp.asarray(batch[:, 2])
+    )
+    got = dict(r.split() for r in r0)
+    assert abs(float(got["tsum"]) - float(jnp.sum(t_ref))) < 5e-2 * max(
+        1.0, abs(float(jnp.sum(t_ref)))
+    )
 
 
 def test_two_process_query_eval_matches_single_process():
