@@ -74,6 +74,29 @@ def main():
     else:
         params = init_ultra_params(ultra_cfg, jax.random.key(args.seed))
 
+    if isinstance(dataset, list):
+        # JointQueryDataset mixture: multigraph pretraining, per-member eval
+        from ultra_tpu.query.pretrain import QueryPretrainGraphs, pretrain_queries
+
+        graphs = QueryPretrainGraphs(dataset)
+        params = pretrain_queries(
+            cfg, ultra_cfg, qcfg, params, graphs, workdir, seed=args.seed
+        )
+        batch_size = int(cfg["train"].get("batch_size", 8))
+        for gi, member in enumerate(dataset):
+            (_, _), (_, _), (lo, hi) = member.split_ranges()
+            graph = prepare_query_graph(member.graphs[2])
+            m = evaluate_queries(
+                params, ultra_cfg, qcfg, graph, member, np.arange(lo, hi),
+                batch_size=batch_size,
+                metric_names=cfg["task"].get("metric", ("mrr",)),
+                restrict_nodes=member.graphs[2].restrict_nodes,
+            )
+            logger.warning("test metrics [%s]:", member.name)
+            for k in sorted(m):
+                logger.warning("  %s: %.4f", k, m[k])
+        return
+
     params = train_queries(cfg, ultra_cfg, qcfg, params, dataset, workdir, seed=args.seed)
 
     ranges = dataset.split_ranges()

@@ -345,3 +345,73 @@ exec(open({os.path.join(repo, "scripts", "run_query_many.py")!r}).read())
     assert proc.returncode == 0, proc.stderr[-2000:]
     content = out_csv.read_text()
     assert "ToyBetaeMany" in content and "mrr" in content
+
+
+def test_joint_query_pretraining_cli(tmp_path):
+    """Drive scripts/run_query.py on a JointQueryDataset mixture: multigraph
+    query pretraining + per-member test eval."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "qdata")
+    os.makedirs(root, exist_ok=True)
+    write_transductive_fixture(root, name="toy-a")
+    write_transductive_fixture(root, name="toy-b")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_file = tmp_path / "q.yaml"
+    cfg_file.write_text(
+        f"""
+output_dir: {tmp_path}/out
+dataset:
+  class: ToyJointQuery
+  root: {root}
+  graphs: [A, B]
+model:
+  logic: product
+  dropout_ratio: 0.25
+  threshold: 0.0
+  model:
+    relation_model: {{input_dim: 16, hidden_dims: [16]}}
+    entity_model: {{input_dim: 16, hidden_dims: [16]}}
+task:
+  name: ComplexQuery
+  adversarial_temperature: 0.2
+  metric: [mrr]
+optimizer: {{lr: 1.0e-3}}
+train:
+  batch_size: 2
+  num_epoch: 1
+  batch_per_epoch: 3
+"""
+    )
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        f"""
+import sys
+sys.path.insert(0, {repo!r})
+import tests.conftest
+from ultra_tpu.query import datasets as qds
+
+class ToyA(qds.LogicalQueryDataset):
+    name = "toy-a"
+
+class ToyB(qds.LogicalQueryDataset):
+    name = "toy-b"
+
+class ToyJointQuery(qds.JointQueryDataset):
+    datasets_map = {{"A": ToyA, "B": ToyB}}
+
+qds.QUERY_DATASETS["ToyJointQuery"] = ToyJointQuery
+sys.argv = ["run_query.py", "-c", {str(cfg_file)!r}]
+exec(open({os.path.join(repo, "scripts", "run_query.py")!r}).read())
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, str(driver)], capture_output=True, text=True,
+        timeout=600, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    log = proc.stderr + proc.stdout
+    assert "avg valid mrr" in log
+    assert "test metrics [toy-a-betae]" in log or "test metrics" in log
