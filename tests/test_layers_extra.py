@@ -66,6 +66,78 @@ def test_rotate_message(graph_setup):
 
 
 @pytest.mark.parametrize("agg", ["mean", "max", "pna"])
+def test_rotate_all_aggregators(graph_setup, agg):
+    """rotate x {mean,max,pna} against an independent numpy oracle
+    (reference fallback supports these, layers.py:135-181)."""
+    graph, rng, d, b, x, boundary, query = graph_setup
+    in_mult = 13 if agg == "pna" else 2
+    params = make_layer_params(rng, d, graph.num_relations, in_mult=in_mult)
+    cfg = ConvConfig(
+        input_dim=d, output_dim=d, num_relation=graph.num_relations,
+        message_func="rotate", aggregate_func=agg,
+    )
+    out = conv_apply(params, cfg, graph, x, boundary, query=query)
+    assert out.shape == (graph.num_nodes, b, d)
+
+    # numpy oracle: per-edge complex rotation, then the aggregation
+    ei = np.asarray(graph.edge_index)
+    et = np.asarray(graph.edge_type)
+    ew = np.asarray(graph.edge_weight)
+    xe = np.asarray(x)[ei[1]]
+    re = np.asarray(params["relation"])[et][:, None, :]
+    h = d // 2
+    msg = np.concatenate(
+        [xe[..., :h] * re[..., :h] - xe[..., h:] * re[..., h:],
+         xe[..., :h] * re[..., h:] + xe[..., h:] * re[..., :h]], axis=-1,
+    )
+    live = ew != 0.0
+    wmsg = msg * ew[:, None, None]
+    v = graph.num_nodes
+    bnd = np.asarray(boundary)
+    deg = np.zeros(v)
+    np.add.at(deg, ei[0][live], 1.0)
+    deg = deg[:, None, None] + 1.0
+
+    def seg_sum(m):
+        out_ = np.zeros_like(bnd)
+        np.add.at(out_, ei[0], m * ew[:, None, None])
+        return out_
+
+    def seg_ext(m, is_min):
+        fill = np.inf if is_min else -np.inf
+        out_ = np.full_like(bnd, fill)
+        op = np.minimum if is_min else np.maximum
+        for e in np.nonzero(live)[0]:
+            out_[ei[0][e]] = op(out_[ei[0][e]], m[e] * ew[e])
+        return out_
+
+    if agg == "mean":
+        upd = (seg_sum(msg) + bnd) / deg
+    elif agg == "max":
+        upd = np.maximum(seg_ext(msg, False), bnd)
+    else:  # pna
+        mean = (seg_sum(msg) + bnd) / deg
+        sq_mean = (seg_sum(np.square(msg)) + np.square(bnd)) / deg
+        mx = np.maximum(seg_ext(msg, False), bnd)
+        mn = np.minimum(seg_ext(msg, True), bnd)
+        std = np.sqrt(np.clip(sq_mean - np.square(mean), 1e-6, None))
+        feats = np.stack([mean, mx, mn, std], axis=-1).reshape(v, b, 4 * d)
+        scale = np.log(deg)
+        scale = scale / scale.mean()
+        scales = np.concatenate(
+            [np.ones_like(scale), scale, 1.0 / np.clip(scale, 1e-2, None)], axis=-1
+        )
+        upd = (feats[..., None] * scales[..., None, :]).reshape(v, b, 12 * d)
+
+    z = np.concatenate([np.asarray(x), upd], axis=-1) @ np.asarray(params["linear"]["w"]) \
+        + np.asarray(params["linear"]["b"])
+    mu = z.mean(-1, keepdims=True)
+    var = ((z - mu) ** 2).mean(-1, keepdims=True)
+    expect = np.maximum((z - mu) / np.sqrt(var + 1e-5), 0.0)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("agg", ["mean", "max", "pna"])
 def test_aggregators_match_torch_oracle(graph_setup, agg):
     from tests.oracle_torch import rspmm_oracle
     import torch

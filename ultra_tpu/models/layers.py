@@ -126,11 +126,32 @@ def layer_relation(params, cfg: ConvConfig, query=None, relation_input=None):
     return jnp.broadcast_to(rel[:, None, :], (rel.shape[0], b, rel.shape[1]))
 
 
+def _pna_features(sum_, sq_sum, max_, min_, boundary, deg):
+    """PNA 12*d feature layout ({mean,max,min,std} x {1, logdeg, 1/logdeg});
+    the boundary folds in as one extra self-message (layers.py:208-226)."""
+    mean = (sum_ + boundary) / deg
+    sq_mean = (sq_sum + jnp.square(boundary)) / deg
+    max_ = jnp.maximum(max_, boundary)
+    min_ = jnp.minimum(min_, boundary)
+    std = jnp.sqrt(jnp.clip(sq_mean - jnp.square(mean), min=EPS))
+    features = jnp.stack([mean, max_, min_, std], axis=-1)  # (V,B,D,4)
+    features = features.reshape(*features.shape[:-2], -1)  # (V,B,4D)
+    scale = jnp.log(deg)
+    scale = scale / jnp.mean(scale)
+    scales = jnp.concatenate(
+        [jnp.ones_like(scale), scale, 1.0 / jnp.clip(scale, min=1e-2)], axis=-1
+    )  # (V,1,3)
+    return (features[..., None] * scales[..., None, :]).reshape(
+        *features.shape[:-1], -1
+    )  # (V,B,12D); the update Linear then takes [input (d) || update (12d)] = 13d
+
+
 def _conv_rotate(params, cfg: ConvConfig, graph: Graph, input, boundary, relation):
     """RotatE message (complex rotation, layers.py:142-147) with per-edge
-    materialization + segment reduction; sum aggregation only."""
-    if cfg.aggregate_func != "sum":
-        raise NotImplementedError("rotate currently supports sum aggregation")
+    materialization + XLA segment reductions, all four aggregators
+    (mirroring the reference per-edge fallback, layers.py:156-181).
+    CPU-oriented: no shipped config uses rotate, and XLA scatter does not
+    scale on the tunneled TPU (see CLAUDE.md)."""
     src = graph.edge_index[1]
     x_e = jnp.take(input, src, axis=0)  # (E, B, D)
     r_e = jnp.take(relation, graph.edge_type, axis=0)
@@ -140,9 +161,38 @@ def _conv_rotate(params, cfg: ConvConfig, graph: Graph, input, boundary, relatio
     msg = jnp.concatenate(
         [x_re * r_re - x_im * r_im, x_re * r_im + x_im * r_re], axis=-1
     )
-    msg = msg * graph.edge_weight[:, None, None]
-    update = jax.ops.segment_sum(msg, graph.edge_index[0], num_segments=graph.num_nodes)
-    update = _combine(update, cfg.edge_axis) + boundary
+    dst = graph.edge_index[0]
+    v = graph.num_nodes
+    ax = cfg.edge_axis
+    live = graph.edge_weight != 0.0
+
+    def seg_sum(m):
+        return _combine(
+            jax.ops.segment_sum(m * graph.edge_weight[:, None, None], dst, num_segments=v), ax
+        )
+
+    def seg_ext(m, is_min):
+        fill = jnp.inf if is_min else -jnp.inf
+        m = jnp.where(live[:, None, None], m * graph.edge_weight[:, None, None], fill)
+        op = jax.ops.segment_min if is_min else jax.ops.segment_max
+        return _combine(op(m, dst, num_segments=v), ax, "min" if is_min else "max")
+
+    if cfg.aggregate_func == "sum":
+        update = seg_sum(msg) + boundary
+    elif cfg.aggregate_func == "mean":
+        deg = _combine(degree(graph, include_self_loop=False), ax)[:, None, None] + 1.0
+        update = (seg_sum(msg) + boundary) / deg
+    elif cfg.aggregate_func == "max":
+        update = jnp.maximum(seg_ext(msg, is_min=False), boundary)
+    elif cfg.aggregate_func == "pna":
+        deg = _combine(degree(graph, include_self_loop=False), ax)[:, None, None] + 1.0
+        update = _pna_features(
+            seg_sum(msg), seg_sum(jnp.square(msg)),
+            seg_ext(msg, is_min=False), seg_ext(msg, is_min=True),
+            boundary, deg,
+        )
+    else:
+        raise ValueError(f"unknown aggregate_func {cfg.aggregate_func!r}")
     output = linear(params["linear"], jnp.concatenate([input, update], axis=-1))
     if cfg.layer_norm:
         output = layer_norm(params["layer_norm"], output)
@@ -224,21 +274,7 @@ def conv_apply(
                             precision=cfg.precision),
             ax, "min",
         )
-        mean = (sum_ + boundary) / deg
-        sq_mean = (sq_sum + jnp.square(boundary)) / deg
-        max_ = jnp.maximum(max_, boundary)
-        min_ = jnp.minimum(min_, boundary)
-        std = jnp.sqrt(jnp.clip(sq_mean - jnp.square(mean), min=EPS))
-        features = jnp.stack([mean, max_, min_, std], axis=-1)  # (V,B,D,4)
-        features = features.reshape(*features.shape[:-2], -1)  # (V,B,4D)
-        scale = jnp.log(deg)
-        scale = scale / jnp.mean(scale)
-        scales = jnp.concatenate(
-            [jnp.ones_like(scale), scale, 1.0 / jnp.clip(scale, min=1e-2)], axis=-1
-        )  # (V,1,3)
-        update = (features[..., None] * scales[..., None, :]).reshape(
-            *features.shape[:-1], -1
-        )  # (V,B,12D) ... see note below
+        update = _pna_features(sum_, sq_sum, max_, min_, boundary, deg)
     else:
         raise ValueError(f"unknown aggregate_func {cfg.aggregate_func!r}")
 

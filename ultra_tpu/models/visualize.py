@@ -17,24 +17,81 @@ import jax.numpy as jnp
 import numpy as np
 
 from ultra_tpu.graph import Graph
-from ultra_tpu.models.layers import ConvConfig, layer_relation, linear, layer_norm, _activation
+from ultra_tpu.models.layers import (
+    ConvConfig, _pna_features, layer_relation, linear, layer_norm, _activation,
+)
 from ultra_tpu.models.nbfnet import mlp_apply, scatter_boundary, rel_nbfnet_apply
 from ultra_tpu.ops.rspmm import _rspmm_xla
 
 
+def _rotate_messages(graph: Graph, relation, input):
+    """Per-edge RotatE messages (complex rotation), unweighted (E, B, D)."""
+    x_e = jnp.take(input, graph.edge_index[1], axis=0)
+    r_e = jnp.take(relation, graph.edge_type, axis=0)
+    d = x_e.shape[-1] // 2
+    x_re, x_im = x_e[..., :d], x_e[..., d:]
+    r_re, r_im = r_e[..., :d], r_e[..., d:]
+    return jnp.concatenate(
+        [x_re * r_re - x_im * r_im, x_re * r_im + x_im * r_re], axis=-1
+    )
+
+
 def _conv_unfused(params, cfg: ConvConfig, graph: Graph, input, boundary, edge_weight,
                   relation_input=None, query=None):
-    """Differentiable conv using the plain-XLA rspmm (no custom VJP), taking
-    an explicit per-layer edge weight vector."""
+    """Differentiable conv using plain-XLA segment ops (no custom VJP),
+    taking an explicit per-layer edge weight vector. All message funcs and
+    aggregators (mirroring the reference's ``separate_grad`` fallback,
+    layers.py:135-181 — whose min/max autograd routes ties to a single
+    argmax, as XLA's does)."""
     relation = layer_relation(params, cfg, query=query, relation_input=relation_input)
-    mul = {"distmult": "mul", "transe": "add"}[cfg.message_func]
-    update = _rspmm_xla(
-        graph.edge_index, graph.edge_type, edge_weight, relation, input,
-        graph.num_nodes, "add", mul,
-    )
-    if cfg.aggregate_func != "sum":
-        raise NotImplementedError("visualization supports sum aggregation")
-    update = update + boundary
+
+    def spmm(sum_op, rel=relation, x=input):
+        if cfg.message_func == "rotate":
+            msg = _rotate_messages(graph, rel, x)
+            if sum_op == "add":
+                return jax.ops.segment_sum(
+                    msg * edge_weight[:, None, None], graph.edge_index[0],
+                    num_segments=graph.num_nodes,
+                )
+            live = edge_weight != 0.0
+            fill = jnp.inf if sum_op == "min" else -jnp.inf
+            msg = jnp.where(live[:, None, None], msg * edge_weight[:, None, None], fill)
+            op = jax.ops.segment_min if sum_op == "min" else jax.ops.segment_max
+            return op(msg, graph.edge_index[0], num_segments=graph.num_nodes)
+        mul = {"distmult": "mul", "transe": "add"}[cfg.message_func]
+        return _rspmm_xla(
+            graph.edge_index, graph.edge_type, edge_weight, rel, x,
+            graph.num_nodes, sum_op, mul,
+        )
+
+    if cfg.aggregate_func == "sum":
+        update = spmm("add") + boundary
+    elif cfg.aggregate_func == "mean":
+        live = (edge_weight != 0.0).astype(input.dtype)
+        deg = jax.ops.segment_sum(
+            live, graph.edge_index[0], num_segments=graph.num_nodes
+        )[:, None, None] + 1.0
+        update = (spmm("add") + boundary) / deg
+    elif cfg.aggregate_func == "max":
+        update = jnp.maximum(spmm("max"), boundary)
+    elif cfg.aggregate_func == "pna":
+        live = (edge_weight != 0.0).astype(input.dtype)
+        deg = jax.ops.segment_sum(
+            live, graph.edge_index[0], num_segments=graph.num_nodes
+        )[:, None, None] + 1.0
+        if cfg.message_func == "rotate":
+            msg = _rotate_messages(graph, relation, input)
+            sq_sum = jax.ops.segment_sum(
+                jnp.square(msg) * edge_weight[:, None, None], graph.edge_index[0],
+                num_segments=graph.num_nodes,
+            )
+        else:
+            sq_sum = spmm("add", rel=jnp.square(relation), x=jnp.square(input))
+        update = _pna_features(
+            spmm("add"), sq_sum, spmm("max"), spmm("min"), boundary, deg
+        )
+    else:
+        raise ValueError(f"unknown aggregate_func {cfg.aggregate_func!r}")
     output = linear(params["linear"], jnp.concatenate([input, update], axis=-1))
     if cfg.layer_norm:
         output = layer_norm(params["layer_norm"], output)
