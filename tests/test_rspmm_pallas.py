@@ -206,3 +206,75 @@ def test_precision_highest_plumbs_through(rng, agg):
     np.testing.assert_allclose(float(l_hi), float(l_df), rtol=1e-6)
     for a, b in zip(g_hi, g_df):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+@pytest.mark.parametrize("mul_op", ["mul", "add"])
+def test_pallas_weight_grad_matches_xla(rng, mul_op):
+    """d/d edge_weight through the fused Pallas VJP == XLA backend
+    (reference weight_grad contract, rspmm.cpp:106-114)."""
+    ei, et, ew, rel, x = make_inputs(rng, v=50, r=7, e=180)
+    ew = rng.uniform(0.5, 2.0, size=ew.shape).astype(np.float32)
+    ew[rng.uniform(size=ew.shape) < 0.15] = 0.0
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0], pad_to=256)
+    w_pad = np.zeros(graph.num_edges_padded, np.float32)
+    w_pad[: ew.shape[0]] = ew
+    graph = graph.replace(edge_weight=jnp.asarray(w_pad))
+    graph = attach_plans(graph, rb=32, chunk=64)
+    rel_j, x_j = jnp.asarray(rel), jnp.asarray(x)
+
+    def loss_pallas(w):
+        out = rspmm_pallas_sum(mul_op, v, None, graph.plans, rel_j, x_j, w)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(w):
+        out = generalized_rspmm(
+            jnp.asarray(ei), jnp.asarray(et), w[: ew.shape[0]], rel_j, x_j,
+            sum="add", mul=mul_op, backend="xla",
+        )
+        return jnp.sum(jnp.sin(out))
+
+    gp = jax.grad(loss_pallas)(graph.edge_weight)
+    gx = jax.grad(loss_xla)(graph.edge_weight)
+    # plan-covered edges are the build-time live ones; others must be 0
+    live = w_pad != 0.0
+    np.testing.assert_allclose(
+        np.asarray(gp)[live], np.asarray(gx)[live], rtol=5e-3, atol=5e-3
+    )
+    assert np.all(np.asarray(gp)[~live] == 0.0)
+
+
+@pytest.mark.parametrize("sum_op", ["min", "max"])
+@pytest.mark.parametrize("mul_op", ["mul", "add"])
+def test_pallas_minmax_weight_grad_matches_xla(rng, sum_op, mul_op):
+    from ultra_tpu.ops.rspmm_pallas import rspmm_pallas_minmax
+
+    ei, et, ew, rel, x = make_inputs(rng, v=40, r=5, e=150)
+    ew = rng.uniform(0.5, 2.0, size=ew.shape).astype(np.float32)
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0], pad_to=192)
+    w_pad = np.zeros(graph.num_edges_padded, np.float32)
+    w_pad[: ew.shape[0]] = ew
+    graph = graph.replace(edge_weight=jnp.asarray(w_pad))
+    graph = attach_plans(graph, rb=32, chunk=64)
+    rel_j, x_j = jnp.asarray(rel), jnp.asarray(x)
+
+    def loss_pallas(w):
+        out = rspmm_pallas_minmax(graph.plans, rel_j, x_j, w, mul_op, sum_op, v)
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(w):
+        out = generalized_rspmm(
+            jnp.asarray(ei), jnp.asarray(et), w[: ew.shape[0]], rel_j, x_j,
+            sum=sum_op, mul=mul_op, backend="xla",
+        )
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+        return jnp.sum(jnp.sin(out))
+
+    gp = jax.grad(loss_pallas)(graph.edge_weight)
+    gx = jax.grad(loss_xla)(graph.edge_weight)
+    live = w_pad != 0.0
+    np.testing.assert_allclose(
+        np.asarray(gp)[live], np.asarray(gx)[live], rtol=5e-3, atol=5e-3
+    )

@@ -27,10 +27,9 @@ Deviations by design (TPU-first):
   transpose-to-(V, B*D) dance (``layers.py:190-192``): rows stay contiguous
   for DMA and no transposes are needed inside the hot loop.
 - **Gradients** via ``jax.custom_vjp``. ``d/dx`` is itself an rspmm on the
-  transposed graph; ``d/drel`` a segment-sum over edge types; min/max route
-  gradients to every tie, matching ``operator.cuh:62-77``. ``edge_weight`` is
-  non-differentiable (the reference only differentiates weights in the
-  un-fused visualization path, ``base_nbfnet.py:107-108``).
+  transposed graph; ``d/drel`` a segment-sum over edge types; ``d/dweight``
+  an SDDMM-style per-edge reduction (``rspmm.cpp:106-114`` weight_grad);
+  min/max route gradients to every tie, matching ``operator.cuh:62-77``.
 
 Backends:
 
@@ -188,32 +187,38 @@ def _rspmm_bwd(num_nodes, sum_op, mul_op, backend, chunk, res, g):
     def edge_grads(ei_c, et_c, ew_c):
         """Per-edge gradient factors for a chunk of edges.
 
-        Returns (grad wrt rel[type[e]], grad wrt x[src[e]]) of shape (C, ...).
+        Returns (grad wrt rel[type[e]], grad wrt x[src[e]], grad wrt w[e])
+        of shape (C, ...) / (C, ...) / (C,).
         """
         rel_e = jnp.take(relation, et_c, axis=0)
         x_e = jnp.take(x, ei_c[1], axis=0)
         g_e = jnp.take(g, ei_c[0], axis=0)
         w = ew_c.reshape((-1,) + (1,) * (g_e.ndim - 1))
+        m = _binary(mul_op, rel_e, x_e)
         if sum_op == "add":
             route = w
+            chosen = jnp.ones_like(w)
         else:
-            msg = _binary(mul_op, rel_e, x_e) * w
             out_e = jnp.take(out, ei_c[0], axis=0)
-            route = jnp.where((msg == out_e) & (w != 0.0), w, 0.0)
+            chosen = jnp.where((m * w == out_e) & (w != 0.0), 1.0, 0.0)
+            route = chosen * w
         if mul_op == "mul":
             d_rel = route * x_e * g_e
             d_x = route * rel_e * g_e
         else:  # transe: d/d(rel) = d/d(x) = 1
             d_rel = route * g_e
             d_x = route * g_e
-        return d_rel, d_x
+        # d/dw (w * m) = m at routed positions (rspmm.cpp:106-114 weight_grad)
+        feat_axes = tuple(range(1, g_e.ndim))
+        d_w = jnp.sum(chosen * m * g_e, axis=feat_axes)
+        return d_rel, d_x, d_w
 
     feat = int(np.prod(x.shape[1:]))
     e_pad = edge_index.shape[1]
     b = _pick_backend(backend, e_pad, feat)
 
     if b != "xla_chunked":
-        d_rel_e, d_x_e = edge_grads(edge_index, edge_type, edge_weight)
+        d_rel_e, d_x_e, d_w = edge_grads(edge_index, edge_type, edge_weight)
         d_rel = jax.ops.segment_sum(d_rel_e, edge_type, num_segments=num_rel)
         d_x = jax.ops.segment_sum(d_x_e, src, num_segments=x.shape[0])
     else:
@@ -229,16 +234,17 @@ def _rspmm_bwd(num_nodes, sum_op, mul_op, backend, chunk, res, g):
         def body(carry, args):
             d_rel, d_x = carry
             ei_c, et_c, ew_c = args
-            d_rel_e, d_x_e = edge_grads(ei_c, et_c, ew_c)
+            d_rel_e, d_x_e, d_w_c = edge_grads(ei_c, et_c, ew_c)
             d_rel = d_rel.at[et_c].add(d_rel_e)
             d_x = d_x.at[ei_c[1]].add(d_x_e)
-            return (d_rel, d_x), None
+            return (d_rel, d_x), d_w_c
 
-        (d_rel, d_x), _ = jax.lax.scan(
+        (d_rel, d_x), d_w = jax.lax.scan(
             body, (jnp.zeros_like(relation), jnp.zeros_like(x)), (ei, et, ew)
         )
+        d_w = d_w.reshape(-1)[:e_pad]
 
-    return (None, None, None, d_rel, d_x)
+    return (None, None, d_w.astype(edge_weight.dtype), d_rel, d_x)
 
 
 _rspmm.defvjp(_rspmm_fwd, _rspmm_bwd)

@@ -134,6 +134,10 @@ class PallasPlan:
     n_reduce_pad: int = struct.field(pytree_node=False)  # padded output rows
     n_gather_pad: int = struct.field(pytree_node=False)  # padded input rows
     r_pad: int = struct.field(pytree_node=False)  # padded relation rows
+    # (dead_slot+1,) int32: edge id -> flat slot index in the (K*C,) chunk
+    # layout (K*C for ids with no slot). Inverts `perm` so per-slot weight
+    # gradients can be gathered back to edge order (rspmm.cpp:106-114).
+    inv_slot: Optional[jax.Array] = None
 
 
 def build_plan(
@@ -227,7 +231,12 @@ def build_plan(
     covered = np.zeros(n_red_blk, dtype=np.float32)
     if k:
         covered[np.unique(reduce_blk)] = 1.0
+    # invert perm: edge id -> flat slot (ids with no slot -> virtual slot
+    # `total`, which the weight-grad gather maps to 0)
+    inv_slot = np.full(dead_slot + 1, total, dtype=np.int64)
+    inv_slot[perm] = np.arange(total, dtype=np.int64)
     return PallasPlan(
+        inv_slot=jnp.asarray(inv_slot.astype(np.int32)),
         reduce_blk=jnp.asarray(reduce_blk),
         gather_blk=jnp.asarray(gather_blk),
         local_reduce=jnp.asarray(local_reduce.reshape(k, chunk)),
@@ -439,6 +448,112 @@ def rspmm_pallas_rel_grad(
       _pad8(plan.local_reduce), _pad8(w_plan),
       x_pad, g_pad)
     return out[:num_relations]
+
+
+def _dw_kernel(mul_op, minmax, c, rbr, rbg, acc_dtype, prec,
+               reduce_blk_ref, gather_blk_ref,
+               lred_ref, lgat_ref, types_ref, w_ref,
+               x_ref, g_ref, out_fwd_ref, rel_ref, dw_ref):
+    """Per-edge weight gradient d_w[e] = sum_f route * m * g[dst]
+    (rspmm.cpp:106-114 weight_grad; rspmm.cu:141-147). ``m`` is the
+    unweighted message; for min/max, route = [w*m == out[dst]] (ties all).
+
+    Runs on the dst-major plan: gather side = src (x), reduce side = dst
+    (g and, for min/max, the saved forward output). Output is per-SLOT
+    (one scalar per chunk row), mapped back to edge order by inv_slot."""
+    k = pl.program_id(1)
+    row = jax.lax.rem(k, 8)
+    lred = lred_ref[pl.ds(row, 1), :][0]
+    lgat = lgat_ref[pl.ds(row, 1), :][0]
+    types = types_ref[pl.ds(row, 1), :][0]
+
+    x_sel = _onehot(lgat, rbg, x_ref.dtype)
+    x_rows = jnp.dot(x_sel, x_ref[:], preferred_element_type=acc_dtype, precision=prec)
+    gt = _onehot(types, rel_ref.shape[0], rel_ref.dtype)
+    rel_rows = jnp.dot(gt, rel_ref[:], preferred_element_type=acc_dtype, precision=prec)
+    m = x_rows * rel_rows if mul_op == "mul" else x_rows + rel_rows
+    # sentinel lred rows (padding) produce all-zero g rows -> d_w 0
+    g_sel = _onehot(lred, rbr, g_ref.dtype)
+    g_rows = jnp.dot(g_sel, g_ref[:], preferred_element_type=acc_dtype, precision=prec)
+    q = m * g_rows
+    if minmax:
+        w = w_ref[pl.ds(row, 1), :][0].astype(acc_dtype)
+        out_rows = jnp.dot(
+            g_sel, out_fwd_ref[:], preferred_element_type=acc_dtype, precision=prec
+        )
+        live2 = w[:, None] != 0.0
+        q = jnp.where((m * w[:, None] == out_rows) & live2, q, 0.0)
+    dw_ref[pl.ds(row, 1), :] = jnp.sum(q, axis=1)[None, :]
+
+
+def rspmm_pallas_dw(plan, relation, x, g, edge_weight, *, mul="mul",
+                    out_fwd=None, f_block=512, precision=None):
+    """(E,) weight gradient via the dst-major plan. ``out_fwd`` (saved
+    forward output, finite-fill form) switches min/max tie routing on."""
+    n, f = x.shape[0], int(np.prod(x.shape[1:]))
+    f_blk = min(f_block, f)
+    nf = f // f_blk
+    k, c = plan.num_chunks, plan.chunk
+    if k == 0:
+        return jnp.zeros_like(edge_weight)
+    x_gat = jnp.pad(_flatten(x), ((0, plan.n_gather_pad - n), (0, 0)))
+    g2 = _flatten(g).astype(jnp.float32)
+    g_red = jnp.pad(g2, ((0, plan.n_reduce_pad - g2.shape[0]), (0, 0)))
+    rel_pad = jnp.pad(
+        _flatten(relation), ((0, plan.r_pad - relation.shape[0]), (0, 0))
+    )
+    k_pad8 = _round_up(k, 8)
+    minmax = out_fwd is not None
+    if minmax:
+        o2 = _flatten(out_fwd)
+        out_red = jnp.pad(o2, ((0, plan.n_reduce_pad - o2.shape[0]), (0, 0)))
+    else:
+        out_red = g_red  # unused placeholder with the right block shape
+    w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
+    w_plan = jnp.take(w_ext, plan.perm, axis=0)
+
+    kernel = functools.partial(
+        _dw_kernel, mul, minmax, c, plan.rb_reduce, plan.rb_gather, jnp.float32,
+        _prec(precision),
+    )
+    parts = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nf, k),
+            in_specs=[
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((8, c), lambda j, k, rb, gb: (k // 8, 0)),
+                pl.BlockSpec((plan.rb_gather, f_blk), lambda j, k, rb, gb: (gb[k], j)),
+                pl.BlockSpec((plan.rb_reduce, f_blk), lambda j, k, rb, gb: (rb[k], j)),
+                pl.BlockSpec((plan.rb_reduce, f_blk), lambda j, k, rb, gb: (rb[k], j)),
+                pl.BlockSpec((plan.r_pad, f_blk), lambda j, k, rb, gb: (0, j)),
+            ],
+            # one (8, c) row-block per 8 consecutive chunks, per f-block —
+            # row k%8 written at step k, blocks never revisited across j
+            out_specs=pl.BlockSpec(
+                (8, c), lambda j, k, rb, gb: (j * ((k_pad8) // 8) + k // 8, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nf * k_pad8, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(plan.reduce_blk, plan.gather_blk,
+      _pad8(plan.local_reduce), _pad8(plan.local_gather),
+      _pad8(plan.types), _pad8(w_plan),
+      x_gat, g_red, out_red, rel_pad)
+    # rows K..k_pad8 of each f-section are unwritten garbage; real slots all
+    # live below K*C, and ids with no slot map to the appended zero
+    dw_flat = parts.reshape(nf, k_pad8 * c).sum(axis=0)
+    dw_ext = jnp.concatenate([dw_flat, jnp.zeros((1,), jnp.float32)])
+    e = edge_weight.shape[0]
+    inv = plan.inv_slot[:e]
+    idx = jnp.where(inv >= k * c, dw_flat.shape[0], inv)
+    return jnp.take(dw_ext, idx, axis=0).astype(edge_weight.dtype)
 
 
 _MINMAX_FILL = 1e38  # finite identity (matmul-safe; reference uses lowest/max)
@@ -778,7 +893,13 @@ def _minmax_vjp_bwd(mul, sum_op, num_nodes, prec, res, g):
     # passing (x by gather side) and (g, out by reduce side) in the right slots
     d_rel = _drel_call(kern, p, x_gat, g_red, out_red, rel_pad, w_plan, f, f_blk)
     d_rel = d_rel[: relation.shape[0]].reshape(relation.shape)
-    return (None, d_rel.astype(relation.dtype), d_x.astype(x.dtype), None)
+    d_w = None
+    if p.inv_slot is not None:
+        d_w = rspmm_pallas_dw(
+            p, relation, x, g, edge_weight, mul=mul, out_fwd=out2,
+            precision=prec,
+        )
+    return (None, d_rel.astype(relation.dtype), d_x.astype(x.dtype), d_w)
 
 
 def _drel_call(kernel_fn, plan, x_gat, g_red, out_red, rel, w_plan, f, f_blk):
@@ -1007,8 +1128,15 @@ def _bwd(mul, num_nodes, precision, res, g):
         plans.dst, _flatten(x), g2, w_ext, relation.shape[0], mul=mul,
         precision=precision,
     ).reshape(relation.shape)
+    # d_w[e] = sum_f m * g[dst] (XLA prunes this kernel when w isn't
+    # differentiated downstream)
+    d_w = None
+    if plans.dst.inv_slot is not None:
+        d_w = rspmm_pallas_dw(
+            plans.dst, relation, x, g, edge_weight, mul=mul, precision=precision
+        )
     # match primal dtypes (bf16 compute mode feeds bf16 operands)
-    return (None, d_rel.astype(relation.dtype), d_x.astype(x.dtype), None)
+    return (None, d_rel.astype(relation.dtype), d_x.astype(x.dtype), d_w)
 
 
 rspmm_pallas_sum.defvjp(_fwd, _bwd)
