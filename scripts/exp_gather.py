@@ -1,0 +1,132 @@
+"""On-chip experiment: cost of XLA gather-compose + fold-8 segment reduction
+at FB15k-237 scale, vs the one-hot Pallas kernel.
+
+Hypothesis: XLA *gather* (unlike scatter, which never completes here) runs at
+HBM speed on the tunneled TPU. If so, rspmm-sum can be formulated as
+
+    m = rel[et] * x[src] * w          # fused gathers + elementwise
+    p1 = m.reshape(-1, 8, F).sum(1)   # per-dst padded fold (dst-sorted plan)
+    p2 = p1[slot_idx].reshape(-1, 8, F).sum(1)   # level 2
+    ...                               # log8(max_deg) levels, sizes shrink 8x
+
+with zero one-hot matmuls: ~2*F useful FLOPs/edge on the VPU instead of
+~1.3 MFLOP/edge on the MXU. Prints per-op times to stderr.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-comp-cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V, E_DIRECT, R_DIRECT = 14541, 272115, 237
+B, D = 8, 64
+F = B * D
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def chained_ms(step, x0, iters=8):
+    def run(n):
+        f = jax.jit(lambda x: jax.lax.fori_loop(0, n, lambda i, c: step(c), x))
+        float(jnp.sum(f(x0)))
+        t0 = time.perf_counter()
+        float(jnp.sum(f(x0)))
+        return time.perf_counter() - t0
+
+    t1 = run(1)
+    tn = run(iters + 1)
+    return max(tn - t1, 1e-9) / iters * 1e3
+
+
+def main():
+    from ultra_tpu.data.synthetic import random_kg_triples, with_inverses
+
+    log(f"devices: {jax.devices()}")
+    trip = random_kg_triples(V, R_DIRECT, E_DIRECT, seed=0)
+    ei, et = with_inverses(trip, R_DIRECT)
+    e = ei.shape[1]
+    src, dst = ei[1], ei[0]
+
+    # --- host plan: dst-sorted, each dst padded to a multiple of 8 ---------
+    t0 = time.perf_counter()
+    order = np.argsort(dst, kind="stable")
+    src_s, dst_s, et_s = src[order], dst[order], et[order]
+    deg = np.bincount(dst_s, minlength=V)
+    slots = np.maximum((deg + 7) // 8, 1)  # >=1 slot per dst (deg-0 -> zeros)
+    e_pad = int(slots.sum()) * 8
+    # position of each sorted edge inside the padded layout
+    grp_start = np.concatenate([[0], np.cumsum(slots * 8)])[:-1]
+    within = np.arange(e) - np.concatenate([[0], np.cumsum(deg)])[:-1][dst_s]
+    pos = grp_start[dst_s] + within
+    src_p = np.zeros(e_pad, np.int64)
+    et_p = np.zeros(e_pad, np.int64)
+    w_p = np.zeros(e_pad, np.float32)
+    src_p[pos], et_p[pos], w_p[pos] = src_s, et_s, 1.0
+    # level-2: fold slot rows per dst again (slots per dst padded to 8)
+    n1 = e_pad // 8
+    s2 = np.maximum((slots + 7) // 8, 1)
+    n2_pad = int(s2.sum()) * 8
+    g2_start = np.concatenate([[0], np.cumsum(s2 * 8)])[:-1]
+    slot_dst = np.repeat(np.arange(V), slots)
+    within1 = np.arange(n1) - np.concatenate([[0], np.cumsum(slots)])[:-1][slot_dst]
+    idx2 = np.full(n2_pad, n1, np.int64)  # n1 -> appended zero row
+    idx2[g2_start[slot_dst] + within1] = np.arange(n1)
+    # level-3 sizes (and beyond) are <= V-ish; model with one more level
+    n2 = n2_pad // 8
+    log(
+        f"plan: E={e} e_pad={e_pad} (waste {e_pad/e:.3f}) n1={n1} "
+        f"n2_pad={n2_pad} n2={n2} ({time.perf_counter()-t0:.2f}s host)"
+    )
+
+    rng = np.random.default_rng(0)
+    for dt, name in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
+        x0 = jnp.asarray(rng.normal(size=(V, F)).astype(np.float32)).astype(dt)
+        rel = jnp.asarray(
+            rng.normal(size=(2 * R_DIRECT, F)).astype(np.float32)
+        ).astype(dt)
+        srcj = jnp.asarray(src_p)
+        etj = jnp.asarray(et_p)
+        wj = jnp.asarray(w_p).astype(dt)
+        i2 = jnp.asarray(idx2)
+
+        # 1) plain gather of x rows at edge scale
+        def g_only(x):
+            m = jnp.take(x, srcj, axis=0)
+            return x + 1e-6 * m[:V]
+
+        ms = chained_ms(g_only, x0, iters=4)
+        log(f"[{name}] take(x, src) E_pad rows: {ms:.2f} ms "
+            f"({e/(ms*1e-3)/1e6:.0f} M edges/s)")
+
+        # 2) fused gather-compose + level-1 fold
+        def l1(x):
+            m = jnp.take(rel, etj, axis=0) * jnp.take(x, srcj, axis=0) * wj[:, None]
+            p1 = m.reshape(n1, 8, F).sum(axis=1)
+            return x + 1e-6 * p1[:V]
+
+        ms = chained_ms(l1, x0, iters=4)
+        log(f"[{name}] compose+fold L1: {ms:.2f} ms "
+            f"({e/(ms*1e-3)/1e6:.0f} M edges/s)")
+
+        # 3) full tree: L1 + L2 (+ small L3 ignored)
+        def tree(x):
+            m = jnp.take(rel, etj, axis=0) * jnp.take(x, srcj, axis=0) * wj[:, None]
+            p1 = m.reshape(n1, 8, F).sum(axis=1)
+            p1e = jnp.concatenate([p1, jnp.zeros((1, F), p1.dtype)])
+            p2 = jnp.take(p1e, i2, axis=0).reshape(n2, 8, F).sum(axis=1)
+            return x + 1e-6 * p2[:V]
+
+        ms = chained_ms(tree, x0, iters=4)
+        log(f"[{name}] compose+fold L1+L2: {ms:.2f} ms "
+            f"({e/(ms*1e-3)/1e6:.0f} M edges/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,56 @@ def test_executor_matches_reference_scheduler(logic):
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("logic", ["product", "godel", "lukasiewicz"])
+def test_grouped_executor_matches_slot_synchronous(logic):
+    """execute_grouped (projections batched by round) must equal both the
+    slot-synchronous executor and the reference-style scheduler on a mixed
+    batch, with exactly max-projections-per-query GNN rounds."""
+    from ultra_tpu.query.executor import execute_grouped, projection_schedule
+
+    graph, ei, et, cfg, params = small_setup()
+    rng = np.random.default_rng(5)
+    query = make_queries(graph, rng)
+    kind, operand = ops.decompose(query)
+    qcfg = QueryConfig(logic=logic, dropout_ratio=0.0)
+
+    round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
+    assert n_rounds == 2  # deepest query in the mix is 2p / 2in
+
+    got = execute_grouped(
+        params, cfg, qcfg, graph, jnp.asarray(kind), jnp.asarray(operand),
+        jnp.asarray(round_of), jnp.asarray(has_proj), jnp.asarray(arg_slot),
+        n_rounds,
+    )
+    slot_sync = execute(
+        params, cfg, qcfg, graph, jnp.asarray(kind), jnp.asarray(operand)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(slot_sync), rtol=1e-5, atol=1e-6
+    )
+    expect = reference_style_execute(params, cfg, qcfg, graph, query)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-3, atol=1e-4)
+
+
+def test_grouped_forward_wrapper():
+    """make_query_forward_grouped handles schedule plumbing + jit caching."""
+    from ultra_tpu.query.trainer import make_query_forward, make_query_forward_grouped
+
+    graph, ei, et, cfg, params = small_setup()
+    rng = np.random.default_rng(7)
+    query = make_queries(graph, rng)
+    kind, operand = ops.decompose(query)
+    qcfg = QueryConfig(dropout_ratio=0.0)
+
+    plain = make_query_forward(cfg, qcfg)(
+        params, graph, jnp.asarray(kind), jnp.asarray(operand)
+    )
+    grouped = make_query_forward_grouped(cfg, qcfg)(params, graph, kind, operand)
+    np.testing.assert_allclose(
+        np.asarray(grouped), np.asarray(plain), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_executor_jits():
     graph, ei, et, cfg, params = small_setup()
     rng = np.random.default_rng(1)

@@ -954,6 +954,9 @@ class GraphPlans:
     dst: PallasPlan  # reduce over dst (forward, rel-grad)
     src: PallasPlan  # reduce over src (input-grad)
     num_shards: int = struct.field(pytree_node=False, default=0)
+    # optional v2 (gather+fold) forward plan — see rspmm_pallas_v2.py; the
+    # sum primal uses it when present, gradients keep the v1 kernels
+    v2: Optional[object] = None
 
     @classmethod
     def build(
@@ -1052,7 +1055,7 @@ def pad_plan(plan: PallasPlan, k_target: int, dead_slot: int) -> PallasPlan:
 
 
 def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=None,
-                 pad_chunks_to=None):
+                 pad_chunks_to=None, v2: bool = True, v2_chunk: int = 1024):
     """Build GraphPlans from a Graph's live edges and attach them.
 
     The plan permutation indexes the graph's full padded edge-weight vector
@@ -1062,6 +1065,13 @@ def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=N
     ``host_edges``: optional (edge_index, edge_type, edge_weight) numpy
     arrays of the PADDED graph — avoids a device->host transfer when the
     caller still holds them (device_get over a tunneled TPU is slow).
+
+    ``v2``: also build the gather+fold forward plan (rspmm_pallas_v2) used
+    by the sum primal. Skipped when ``pad_chunks_to`` is set (plans whose
+    chunk count must stay jit-stable across edge-set changes — UltraQuery
+    traversal dropout — keep the v1-only path). ``v2_chunk`` defaults to
+    1024 — the on-chip sweep winner (c=128 pays ~2x in sequential grid
+    steps; c=2048 loses to ALIGN pad waste).
     """
     if host_edges is not None:
         ei, et, ew = (np.asarray(a) for a in host_edges)
@@ -1079,6 +1089,14 @@ def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=N
         edge_ids=live, dead_slot=graph.num_edges_padded,
         pad_chunks_to=pad_chunks_to,
     )
+    if v2 and pad_chunks_to is None and len(live):
+        from ultra_tpu.ops.rspmm_pallas_v2 import build_plan_v2
+
+        plan2 = build_plan_v2(
+            ei[:, live], et[live], graph.num_nodes, graph.num_relations,
+            chunk=v2_chunk, edge_ids=live, dead_slot=graph.num_edges_padded,
+        )
+        plans = plans.replace(v2=plan2)
     return graph.replace(plans=plans)
 
 
@@ -1094,10 +1112,21 @@ def rspmm_pallas_sum(mul: str, num_nodes: int, precision, plans: GraphPlans,
     applied to forward and both gradient kernels."""
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
-    out = rspmm_pallas_fwd(
-        plans.dst, _flatten(relation), _flatten(x), w_ext, mul=mul,
-        out_rows=num_nodes, precision=precision,
-    )
+    f = int(np.prod(shape[1:]))
+    # v2 materializes an (E_pad, F) gather; gate on its HBM footprint so
+    # wide-batch training shapes stay on the v1 fused path
+    if plans.v2 is not None and plans.v2.e_pad * f * 2 <= 2**31:
+        from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_fwd
+
+        out = rspmm_v2_fwd(
+            plans.v2, _flatten(relation), _flatten(x), w_ext, mul=mul,
+            out_rows=num_nodes, precision=precision,
+        )
+    else:
+        out = rspmm_pallas_fwd(
+            plans.dst, _flatten(relation), _flatten(x), w_ext, mul=mul,
+            out_rows=num_nodes, precision=precision,
+        )
     return out.reshape((num_nodes,) + shape[1:])
 
 

@@ -1,0 +1,395 @@
+"""Second-generation Pallas rspmm forward (sum aggregation): gather-outside,
+fold-inside, single fused kernel.
+
+The v1 kernel (rspmm_pallas.py) is FLOP-bound: every edge pays three one-hot
+selection matmuls of width (rb_gather + r_pad + rb_reduce) ~ 1248 columns,
+~1.28 MFLOP/edge at F=512 — ~10^4x the useful work. Measured on-chip, the
+*memory* system is far cheaper than that FLOP bill: a plain XLA row gather
+(`jnp.take`) moves 595K x 1KB bf16 rows in ~1.2 ms (473 M rows/s; scatter is
+what never completes on this TPU, not gather). v2 restructures the forward
+around that, replacing the widest one-hot (the gather) with the XLA gather
+engine and the reduce with an 8-edge fold:
+
+  1. **XLA gather**  x_e = x[src]  in a dst-major, per-dst-padded-to-8 edge
+     layout (E_pad rows, bf16). Pure gathers run at memory speed; composed
+     gather+elementwise XLA fusions do NOT (measured 10+ ms) — so the
+     gather stands alone and everything downstream is one Pallas kernel.
+  2. **Fused kernel**, per chunk of C=128 edges:
+       relg  = onehot(type_local, TW) @ table_block     [MXU, TW<=128 wide]
+       m     = (x_e ⊙ relg | x_e + relg) * w            [VPU]
+       slot  = fold16 @ m                               [MXU, banded 16xC]
+       scratch[(k%8)*16 : +16] = slot
+       every 8th chunk:
+       out  += onehot(slot_dst_local, RB2)^T @ scratch  [MXU, K-dim 128]
+     The fold is a *matmul* against a constant banded matrix — a
+     reshape(16,8,F).sum(1) is a sublane-crossing relayout Mosaic executes
+     slowly, but an MXU contraction with K=C is native. The flush matmul
+     reduces 128 slot rows at a time into the VMEM-resident compact-dst
+     output block (revisit discipline as in the v1 forward); slot runs
+     never straddle flush groups because the edge layout pads each output
+     block to 1024-edge boundaries.
+     The relation select is TW<=128 wide (1 MXU tile) instead of r_pad~480
+     because the planner *clusters* output nodes by relation-type signature
+     and emits one TW-row table per run of chunks (the table block is picked
+     by a scalar-prefetched group id). On graphs where clustering fails
+     (uniform relation histograms) the planner falls back to one global
+     table of width r_pad.
+  3. A final V-row `jnp.take` maps compact rows back to node ids.
+
+Cost/edge (F=512, bf16 pass): ~2 KB HBM (the gather) + (TW + 16 + RB2/8)
+* F * 2 FLOPs ~ 0.2 MFLOP — ~6x less MXU work than v1 and the HBM side
+runs concurrently. See ROOFLINE.md for the measured floors.
+
+Scope: sum aggregation forward only (the zero-shot inference hot path —
+reference config/transductive/inference.yaml). Gradients and min/max reuse
+the v1 kernels (rspmm_pallas.py); the custom VJP in rspmm_pallas_sum picks
+v2 for the primal when a PlanV2 is attached. Semantics parity target:
+rspmm.cpp:50-75 (sum over w_e * op(rel[t_e], x[src_e])).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ultra_tpu.ops.rspmm_pallas import _interpret, _onehot, _pad8, _prec, _round_up
+
+FOLD = 8    # edges folded per slot on the MXU (sublane granularity)
+ALIGN = 1024  # edge-layout block alignment = one flush group (128 slots)
+
+
+@struct.dataclass
+class PlanV2:
+    """Host-built layout for the v2 forward. All edge positions refer to the
+    padded dst-major layout of length ``e_pad`` (multiple of 1024)."""
+
+    src_p: jax.Array       # (E_pad,) int32 — src node per slot (pads -> 0)
+    perm: jax.Array        # (E_pad,) int32 into (graph_E_pad+1,) ext weights
+    type_local: jax.Array  # (K, C) int32 in [0, tw)
+    group_id: jax.Array    # (K,) int32 — relation-table block per chunk
+    table_ids: jax.Array   # (n_groups * tw,) int32 into the padded rel table
+    k2_local: jax.Array    # (K2, 128) int32 in [0, rb2]; rb2 = pad sentinel;
+    #                        one row per ALIGN-edge flush group
+    k2_blk: jax.Array      # (K2,) int32 — compact-dst block per flush group
+    rank: jax.Array        # (V,) int32 — node -> compact row (pads -> n_c_pad)
+    num_chunks: int = struct.field(pytree_node=False)
+    chunk: int = struct.field(pytree_node=False)
+    tw: int = struct.field(pytree_node=False)
+    n_groups: int = struct.field(pytree_node=False)
+    k2_chunks: int = struct.field(pytree_node=False)
+    rb2: int = struct.field(pytree_node=False)
+    n_compact_pad: int = struct.field(pytree_node=False)
+    e_pad: int = struct.field(pytree_node=False)
+
+
+def _type_signatures(dst: np.ndarray, et: np.ndarray, num_nodes: int):
+    """Per-dst sorted distinct-type tuple, for clustering nodes with similar
+    relation profiles next to each other (keeps per-group type unions small
+    on power-law KGs; on uniform graphs this achieves nothing and the
+    planner falls back to a full-width table)."""
+    order = np.lexsort((et, dst))
+    d_s, t_s = dst[order], et[order]
+    sigs = {}
+    starts = np.searchsorted(d_s, np.arange(num_nodes))
+    ends = np.searchsorted(d_s, np.arange(num_nodes), side="right")
+    for v in np.nonzero(ends > starts)[0]:
+        sigs[int(v)] = tuple(np.unique(t_s[starts[v]:ends[v]]))
+    return sigs
+
+
+def build_plan_v2(
+    edge_index: np.ndarray,  # (2, E) live edges, [dst, src]
+    edge_type: np.ndarray,
+    num_nodes: int,
+    num_relations: int,
+    *,
+    chunk: int = 128,
+    tw: int = 128,
+    rb2: int = 384,
+    edge_ids: Optional[np.ndarray] = None,
+    dead_slot: Optional[int] = None,
+    cluster: bool = True,
+    table_budget: float = 0.5,  # max table rows as a fraction of E_pad
+) -> PlanV2:
+    """Lay out edges dst-major (clustered order), pad per dst to multiples
+    of FOLD and per compact block to multiples of ALIGN, group chunks
+    under shared TW-row relation tables."""
+    assert chunk % FOLD == 0 and ALIGN % chunk == 0, chunk
+    ei = np.asarray(edge_index)
+    et = np.asarray(edge_type).astype(np.int64)
+    dst, src = ei[0].astype(np.int64), ei[1].astype(np.int64)
+    e = dst.shape[0]
+    if edge_ids is None:
+        edge_ids = np.arange(e, dtype=np.int64)
+    if dead_slot is None:
+        dead_slot = int(e)
+    r_pad = max(_round_up(num_relations, 8), 8)
+
+    deg = np.bincount(dst, minlength=num_nodes)
+    present = np.nonzero(deg)[0]
+    if cluster and len(present):
+        sigs = _type_signatures(dst, et, num_nodes)
+        present = np.array(sorted(present, key=lambda v: sigs[int(v)]), dtype=np.int64)
+    n_c = len(present)
+    rank = np.full(num_nodes, -1, dtype=np.int64)
+    rank[present] = np.arange(n_c)
+
+    # --- edge layout -----------------------------------------------------
+    deg_p = deg[present]                       # per compact dst
+    deg8 = (-(-deg_p // FOLD)) * FOLD          # per-dst pad to FOLD
+    blk_of = np.arange(n_c) // rb2
+    n_blk = int(blk_of[-1]) + 1 if n_c else 0
+    blk_edges = np.zeros(n_blk, np.int64)
+    np.add.at(blk_edges, blk_of, deg8)
+    blk_padded = (-(-blk_edges // ALIGN)) * ALIGN  # flush groups never straddle
+    blk_base = np.concatenate([[0], np.cumsum(blk_padded)])[:-1]
+    # per-dst start: block base + running sum of deg8 within the block
+    within = np.cumsum(deg8) - deg8
+    within -= np.repeat(np.concatenate([[0], np.cumsum(blk_edges)])[:-1],
+                        np.bincount(blk_of, minlength=n_blk))
+    dst_start = blk_base[blk_of] + within
+    e_pad = int(blk_padded.sum())
+    k = e_pad // chunk
+    n1 = e_pad // FOLD                         # slot rows the fold emits
+    k2 = e_pad // ALIGN                        # flush groups (k == k2*ALIGN/chunk)
+
+    # scatter live edges into their slots (dst-major, per-dst type-sorted)
+    order = np.lexsort((et, rank[dst]))
+    within_dst = np.arange(e) - np.repeat(np.cumsum(deg_p) - deg_p, deg_p)
+    pos = dst_start[rank[dst][order]] + within_dst
+    src_p = np.zeros(e_pad, np.int64)
+    types_p = np.zeros(e_pad, np.int64)
+    perm = np.full(e_pad, dead_slot, np.int64)
+    live = np.zeros(e_pad, bool)
+    src_p[pos] = src[order]
+    types_p[pos] = et[order]
+    perm[pos] = edge_ids[order]
+    live[pos] = True
+
+    # slot -> compact dst (sentinel rb2 marks pad slots)
+    slot_rank = np.full(n1, -1, np.int64)
+    n_slots = deg8 // FOLD
+    slot_pos = np.repeat(dst_start // FOLD, n_slots) + (
+        np.arange(int(n_slots.sum())) -
+        np.repeat(np.cumsum(n_slots) - n_slots, n_slots)
+    )
+    slot_rank[slot_pos] = np.repeat(np.arange(n_c), n_slots)
+
+    # Slots within one compact block's padded region are order-free (the
+    # flush matmul accumulates into the resident block regardless of which
+    # ALIGN group a slot sits in), so sort them by their min live edge type:
+    # chunks then see narrow type windows even on uniform relation
+    # histograms, keeping the clustered tables at tw<=128.
+    if n_blk:
+        slot_types = np.where(live, types_p, np.int64(1 << 40)).reshape(n1, FOLD)
+        slot_key = slot_types.min(axis=1)          # pads sort last
+        slot_blk = np.repeat(np.arange(n_blk), blk_padded // FOLD)
+        slot_order = np.lexsort((slot_key, slot_blk))
+        edge_perm = (slot_order[:, None] * FOLD +
+                     np.arange(FOLD)[None, :]).ravel()
+        src_p, types_p = src_p[edge_perm], types_p[edge_perm]
+        perm, live = perm[edge_perm], live[edge_perm]
+        slot_rank = slot_rank[slot_order]
+
+    k2_local = np.where(slot_rank >= 0, slot_rank % rb2, rb2).astype(np.int32)
+    k2_blk = np.zeros(k2, np.int32)
+    if k2:
+        # every flush group sits inside one block by the ALIGN padding
+        first = slot_rank.reshape(k2, ALIGN // FOLD).max(axis=1)  # -1 iff all-pad
+        k2_blk = np.maximum(first, 0) // rb2
+        k2_blk = np.maximum.accumulate(k2_blk).astype(np.int32)  # all-pad groups
+
+    # --- relation-table grouping -----------------------------------------
+    types_c = types_p.reshape(k, chunk)
+    live_c = live.reshape(k, chunk)
+    groups, tables = [], []
+    cur: set = set()
+    cur_start = 0
+    for ck in range(k):
+        t = set(np.unique(types_c[ck][live_c[ck]]).tolist())
+        if len(cur | t) > tw and cur:
+            tables.append(sorted(cur))
+            groups.append((cur_start, ck))
+            cur, cur_start = set(t), ck
+        else:
+            cur |= t
+    if k:
+        tables.append(sorted(cur))
+        groups.append((cur_start, k))
+
+    n_groups = len(tables)
+    too_wide = any(len(tab) > tw for tab in tables)  # one chunk alone > tw
+    if too_wide or n_groups * tw > table_budget * e_pad or not cluster:
+        # clustering failed (or disabled): one global full-width table
+        tw = r_pad
+        n_groups = 1
+        group_id = np.zeros(k, np.int32)
+        table_ids = np.arange(r_pad, dtype=np.int64)
+        type_local = types_c.astype(np.int32)
+    else:
+        group_id = np.zeros(k, np.int32)
+        table_ids = np.zeros(n_groups * tw, np.int64)
+        type_local = np.zeros((k, chunk), np.int32)
+        for gi, ((s, t), tab) in enumerate(zip(groups, tables)):
+            group_id[s:t] = gi
+            table_ids[gi * tw: gi * tw + len(tab)] = tab
+            tab_arr = np.asarray(tab, dtype=np.int64)
+            for ck in range(s, t):
+                type_local[ck] = np.searchsorted(tab_arr, types_c[ck]).clip(
+                    0, max(len(tab) - 1, 0)
+                )
+
+    n_c_pad = _round_up(max(n_c, 1), rb2)
+    rank_out = np.where(rank >= 0, rank, n_c_pad).astype(np.int32)
+    return PlanV2(
+        src_p=jnp.asarray(src_p.astype(np.int32)),
+        perm=jnp.asarray(perm.astype(np.int32)),
+        type_local=jnp.asarray(type_local),
+        group_id=jnp.asarray(group_id),
+        table_ids=jnp.asarray(table_ids.astype(np.int32)),
+        k2_local=jnp.asarray(k2_local.reshape(k2, ALIGN // FOLD)),
+        k2_blk=jnp.asarray(k2_blk),
+        rank=jnp.asarray(rank_out),
+        num_chunks=k,
+        chunk=chunk,
+        tw=int(tw),
+        n_groups=int(n_groups),
+        k2_chunks=k2,
+        rb2=rb2,
+        n_compact_pad=n_c_pad,
+        e_pad=e_pad,
+    )
+
+
+def _fused_kernel(mul_op, c, g, tw, rb2, prec,
+                  group_ref, blk_ref, tl_ref, w_ref, k2l_ref, xe_ref, tab_ref,
+                  out_ref, scratch):
+    """Chunk of C edges -> C/FOLD slot rows staged in scratch; every g-th
+    chunk (g = ALIGN // C) flushes 128 staged slots into the resident
+    compact-dst block with one one-hot matmul (same revisit discipline as
+    the v1 forward). The whole pipeline runs in the stream dtype (bf16 at
+    default precision — matching v1's bf16-pass MXU contract — and f32
+    under 'highest'/interpret); only slot partials and the output
+    accumulate in f32."""
+    k = pl.program_id(1)
+    row = jax.lax.rem(k, 8)          # row within the (8, C) metadata blocks
+    nslot = c // FOLD
+    cdt = xe_ref.dtype
+
+    tl = tl_ref[pl.ds(row, 1), :][0]
+    # the (C,) -> (C, 1) reshape must happen in f32 (Mosaic rejects the
+    # 1-D bf16 relayout); weights ship as f32 rows for the same reason
+    wcol = w_ref[pl.ds(row, 1), :][0][:, None].astype(cdt)
+    sel = _onehot(tl, tw, cdt)
+    if mul_op == "mul":
+        sel = sel * wcol             # fold w into the select: rows = w*rel[t]
+    # Mosaic requires 32-bit matmul accumulators; cast the (exact) one-hot
+    # selection back to the stream dtype for the elementwise stage
+    relg = jnp.dot(sel, tab_ref[:], preferred_element_type=jnp.float32,
+                   precision=prec).astype(cdt)
+    xe = xe_ref[:]
+    m = xe * relg if mul_op == "mul" else (xe + relg) * wcol
+
+    # fold-8: banded constant (C/8, C) matmul — MXU-native, no sublane
+    # relayout (a reshape(.,8,F).sum(1) lowers to slow strided selects)
+    rowsi = jax.lax.broadcasted_iota(jnp.int32, (nslot, c), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nslot, c), 1)
+    fold = (cols // FOLD == rowsi).astype(cdt)
+    slot = jnp.dot(fold, m, preferred_element_type=jnp.float32, precision=prec)
+    scratch[pl.ds(jax.lax.rem(k, g) * nslot, nslot), :] = slot
+
+    @pl.when(jax.lax.rem(k, g) == g - 1)
+    def _flush():
+        g2 = k // g                  # flush-group id
+        @pl.when((g2 == 0) | (blk_ref[g2] != blk_ref[jnp.maximum(g2 - 1, 0)]))
+        def _zero():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        k2row = jax.lax.rem(g2, 8)
+        lred = k2l_ref[pl.ds(k2row, 1), :][0]
+        s = _onehot(lred, rb2, jnp.float32)
+        out_ref[:] += jax.lax.dot_general(
+            s, scratch[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+
+def rspmm_v2_fwd(
+    plan: PlanV2,
+    relation: jax.Array,   # (R, F) flattened features
+    x: jax.Array,          # (V, F)
+    edge_weight_ext: jax.Array,  # (graph_E_pad + 1,) with 0.0 appended
+    *,
+    mul: str = "mul",
+    out_rows: Optional[int] = None,
+    f_block: int = 512,
+    precision=None,
+) -> jax.Array:
+    """Sum-aggregation forward via gather + fused fold/reduce kernel."""
+    n, f = x.shape
+    rows = out_rows if out_rows is not None else n
+    if plan.num_chunks == 0:
+        return jnp.zeros((rows, f), jnp.float32)
+    f_blk = min(f_block, f)
+    assert f % f_blk == 0, (f, f_blk)
+    nf = f // f_blk
+    prec = _prec(precision)
+    # bf16 stream halves the gather traffic and matches the v1 default
+    # MXU bf16-pass numerics; 'highest' keeps full f32 end to end.
+    # Interpret mode (CPU tests) stays f32 — same exactness contract as v1,
+    # whose interpreted matmuls never truncate to bf16.
+    stream_dt = (
+        jnp.float32 if (prec is not None or _interpret()) else jnp.bfloat16
+    )
+
+    r_pad = max(_round_up(relation.shape[0], 8), 8)
+    rel_pad = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
+    x_e = jnp.take(x.astype(stream_dt), plan.src_p, axis=0)       # (E_pad, F)
+    tabs = jnp.take(rel_pad.astype(stream_dt), plan.table_ids, axis=0)
+    w_p = jnp.take(edge_weight_ext, plan.perm, axis=0)             # (E_pad,)
+
+    k, c = plan.num_chunks, plan.chunk
+    gsz = ALIGN // c  # chunks per flush group
+    assert k == gsz * plan.k2_chunks, (k, gsz, plan.k2_chunks)
+    # weights stay f32: a (1, C) dynamic-row load from a bf16 (8, C) block
+    # violates Mosaic's 16-sublane bf16 tiling; the kernel casts per chunk
+    w_kc = _pad8(w_p.reshape(k, c))
+    tl = _pad8(plan.type_local)
+
+    out_c = pl.pallas_call(
+        functools.partial(_fused_kernel, mul, c, gsz, plan.tw, plan.rb2, prec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nf, k),
+            in_specs=[
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),    # type_local
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),    # weights
+                pl.BlockSpec(
+                    (8, ALIGN // FOLD),
+                    lambda j, k, g, b: (k // (8 * gsz), 0)),             # k2_local
+                pl.BlockSpec((c, f_blk), lambda j, k, g, b: (k, j)),     # x_e
+                pl.BlockSpec((plan.tw, f_blk), lambda j, k, g, b: (g[k], j)),  # table
+            ],
+            out_specs=pl.BlockSpec(
+                (plan.rb2, f_blk), lambda j, k, g, b: (b[k // gsz], j)
+            ),
+            scratch_shapes=[pltpu.VMEM((ALIGN // FOLD, f_blk), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((plan.n_compact_pad, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(plan.group_id, plan.k2_blk, tl, w_kc, _pad8(plan.k2_local), x_e, tabs)
+
+    out_ext = jnp.concatenate([out_c, jnp.zeros((1, f), out_c.dtype)])
+    return jnp.take(out_ext, jnp.minimum(plan.rank[:rows], plan.n_compact_pad),
+                    axis=0)

@@ -215,6 +215,109 @@ def execute(
 
 
 # ---------------------------------------------------------------------------
+# round-grouped executor (eval): batch projections across program positions
+# ---------------------------------------------------------------------------
+
+
+def projection_schedule(kind: np.ndarray):
+    """Host-side schedule for :func:`execute_grouped`.
+
+    The slot-synchronous :func:`execute` pays one GNN call per program slot
+    where *any* query projects — on a mixed 14-type batch that is ~L-1
+    calls. The reference's deferred scheduler (ultraquery.py:109-133) runs
+    every query's machine until it blocks on a projection and batches all
+    pending projections into one call, so the call count is
+    max_b(#projections in query b) — 3 on any BetaE mix. This schedule
+    reproduces that grouping for a fixed-shape executor:
+
+    ``round_of[b, i]`` = number of projection slots strictly before slot i
+    in query b. Cheap slots with ``round_of == r`` sit between projections
+    r-1 and r and run in round r's cheap pass; the projection slot with
+    ``round_of == r`` *is* round r's projection (all queries' round-r
+    projections batch into one GNN call).
+
+    Returns (round_of (B, L) int32, has_proj (B, R) bool,
+    r_arg (B, R) int32, n_rounds).
+    """
+    kindn = np.asarray(kind)
+    is_proj = kindn == ops.K_PROJECTION
+    round_of = (np.cumsum(is_proj, axis=1) - is_proj).astype(np.int32)
+    n_rounds = int(is_proj.sum(axis=1).max()) if kindn.size else 0
+    b = kindn.shape[0]
+    has_proj = np.zeros((b, n_rounds), bool)
+    arg_slot = np.zeros((b, n_rounds), np.int64)
+    rows, slots = np.nonzero(is_proj)
+    has_proj[rows, round_of[rows, slots]] = True
+    arg_slot[rows, round_of[rows, slots]] = slots
+    return round_of, has_proj, arg_slot.astype(np.int32), n_rounds
+
+
+def execute_grouped(
+    params,
+    ultra_cfg: UltraConfig,
+    qcfg: QueryConfig,
+    graph: Graph,
+    kind: jax.Array,     # (B, L) int8
+    operand: jax.Array,  # (B, L) int32
+    round_of: jax.Array,  # (B, L) int32 (projection_schedule)
+    has_proj: jax.Array,  # (B, R) bool
+    arg_slot: jax.Array,  # (B, R) int32 — slot of round-r projection
+    n_rounds: int,
+    rel_reprs_all=None,
+):
+    """(B, V) logits like :func:`execute`, with projections grouped into
+    ``n_rounds`` batched GNN calls (single shared graph — eval only; the
+    training path keeps per-slot graphs for traversal dropout)."""
+    b, length = kind.shape
+    v = graph.num_nodes
+
+    stack = jnp.zeros((b, qcfg.stack_size, v), jnp.float32)
+    sp = jnp.zeros((b,), jnp.int32)
+
+    for r in range(n_rounds + 1):
+        for i in range(length):
+            gate = round_of[:, i] == r
+            k = kind[:, i]
+            arg = operand[:, i]
+
+            is_operand = gate & (k == ops.K_OPERAND)
+            is_inter = gate & (k == ops.K_INTERSECTION)
+            is_union = gate & (k == ops.K_UNION)
+            is_neg = gate & (k == ops.K_NEGATION)
+
+            onehot = jax.nn.one_hot(jnp.clip(arg, 0, v - 1), v, dtype=jnp.float32)
+            stack, sp = stack_push(stack, sp, is_operand, onehot)
+
+            is_binary = is_inter | is_union
+            y, sp = stack_pop(stack, sp, is_binary)
+            x, sp = stack_pop(stack, sp, is_binary)
+            z = jnp.where(
+                is_inter[:, None],
+                conjunction(qcfg.logic, x, y),
+                disjunction(qcfg.logic, x, y),
+            )
+            stack, sp = stack_push(stack, sp, is_binary, z)
+
+            xn, sp = stack_pop(stack, sp, is_neg)
+            stack, sp = stack_push(stack, sp, is_neg, negation(xn))
+
+        if r < n_rounds:
+            proj = has_proj[:, r]
+            r_index = operand[jnp.arange(b), arg_slot[:, r]]
+            h_prob, sp = stack_pop(stack, sp, proj)
+            t_prob = relation_projection(
+                params, ultra_cfg, qcfg, graph,
+                jax.lax.stop_gradient(h_prob),
+                jnp.clip(r_index, 0, graph.num_relations - 1),
+                rel_reprs_all=rel_reprs_all,
+            )
+            stack, sp = stack_push(stack, sp, proj, t_prob)
+
+    t_prob, sp = stack_pop(stack, sp, jnp.ones((b,), bool))
+    return jnp.log((t_prob + 1e-10) / (1 - t_prob + 1e-10))
+
+
+# ---------------------------------------------------------------------------
 # host-side symbolic machine + traversal dropout (training data pipeline)
 # ---------------------------------------------------------------------------
 

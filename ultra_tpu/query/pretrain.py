@@ -42,14 +42,19 @@ logger = logging.getLogger("ultra_tpu")
 
 
 class QueryPretrainGraphs:
-    """Per-member state: device graphs, dropout planners, train index ranges."""
+    """Per-member state: device graphs, dropout planners, train index ranges.
+
+    DropoutPlanner init is ~6.6 s / 0.9 GB host per member at 120K-node /
+    2M-edge scale, so planners build lazily on a member's first sampled
+    batch (a mixture of N large members would otherwise pay all N costs up
+    front, most wasted when few members dominate the sampling probs)."""
 
     def __init__(self, datasets: Sequence[QueryDataset]):
         self.datasets = list(datasets)
         self.base_graphs = [prepare_query_graph(d.graphs[0]) for d in self.datasets]
         self.valid_graphs = [prepare_query_graph(d.graphs[1]) for d in self.datasets]
         self.hosts = []
-        self.planners = []
+        self._planners: List[Optional[DropoutPlanner]] = [None] * len(self.datasets)
         for d, g in zip(self.datasets, self.base_graphs):
             qg = d.graphs[0]
             host = {
@@ -61,12 +66,21 @@ class QueryPretrainGraphs:
                 "inverse_rel_plus_one": qg.inverse_rel_plus_one,
             }
             self.hosts.append(host)
-            self.planners.append(DropoutPlanner(host))
         self.train_ranges = [d.split_ranges()[0] for d in self.datasets]
         counts = np.array(
             [hi - lo for lo, hi in self.train_ranges], dtype=np.float64
         )
         self.probs = counts / counts.sum()  # ∝ train-query count
+
+    def planner(self, gi: int) -> DropoutPlanner:
+        if self._planners[gi] is None:
+            t0 = time.time()
+            self._planners[gi] = DropoutPlanner(self.hosts[gi])
+            logger.warning(
+                "built DropoutPlanner for member %d (%s) in %.1fs", gi,
+                self.datasets[gi].name, time.time() - t0,
+            )
+        return self._planners[gi]
 
 
 def pretrain_queries(
@@ -127,7 +141,7 @@ def pretrain_queries(
                 kind, operand = ops.decompose(d.queries[take])
                 plan = simulate_symbolic(
                     kind, operand, graphs.hosts[gi], qcfg, rng, training=True,
-                    planner=graphs.planners[gi],
+                    planner=graphs.planner(gi),
                 )
                 slot_graphs = graphs_for_slots(graphs.base_graphs[gi], plan)
                 target = answers_to_mask(

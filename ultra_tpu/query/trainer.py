@@ -31,7 +31,9 @@ from ultra_tpu.query.executor import (
     DropoutPlanner,
     QueryConfig,
     execute,
+    execute_grouped,
     graphs_for_slots,
+    projection_schedule,
     simulate_symbolic,
 )
 from ultra_tpu import tasks
@@ -209,6 +211,33 @@ def make_query_forward(ultra_cfg: UltraConfig, qcfg: QueryConfig):
     return fwd
 
 
+def make_query_forward_grouped(ultra_cfg: UltraConfig, qcfg: QueryConfig):
+    """Eval forward with round-grouped projections: GNN calls per batch =
+    max projections per query (3 on BetaE mixes) instead of one per
+    program slot (~L-1 on mixed-type batches) — the reference's deferred
+    scheduler (ultraquery.py:109-133) for a fixed-shape executor. The jit
+    cache is keyed by n_rounds (at most a handful of values)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n_rounds",))
+    def fwd_jit(params, graph: Graph, kind, operand, round_of, has_proj,
+                arg_slot, n_rounds, rel_reprs_all=None):
+        return execute_grouped(
+            params, ultra_cfg, qcfg, graph, kind, operand,
+            round_of, has_proj, arg_slot, n_rounds, rel_reprs_all=rel_reprs_all,
+        )
+
+    def fwd(params, graph: Graph, kind, operand, rel_reprs_all=None):
+        round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
+        return fwd_jit(
+            params, graph, jnp.asarray(kind), jnp.asarray(operand),
+            jnp.asarray(round_of), jnp.asarray(has_proj),
+            jnp.asarray(arg_slot), n_rounds, rel_reprs_all,
+        )
+
+    return fwd
+
+
 def evaluate_queries(
     params,
     ultra_cfg: UltraConfig,
@@ -239,7 +268,7 @@ def evaluate_queries(
             multihost.shard_indices(len(indices), epoch=0, shuffle=False)
         ]
 
-    fwd = make_query_forward(ultra_cfg, qcfg.replace(dropout_ratio=0.0))
+    fwd = make_query_forward_grouped(ultra_cfg, qcfg.replace(dropout_ratio=0.0))
     v = graph.num_nodes
     # eval-time relation cache: one relation-GNN pass per relation instead of
     # one per projection slot per batch
