@@ -192,3 +192,78 @@ def test_sharded_query_train_step_matches_single_device():
     np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(state8.params), jax.tree.leaves(state1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5)
+
+
+def test_per_rank_traversal_dropout_matches_ddp_oracle():
+    """Reference-DDP compat: each data shard applies its own dropout plan.
+    Oracle = grads of the mean of per-shard losses, each computed on that
+    shard's masked graphs (what DDP gradient averaging does)."""
+    import optax
+    from jax.sharding import Mesh
+
+    from ultra_tpu.query.trainer import (
+        make_per_rank_query_train_step,
+        per_rank_slot_weights,
+        query_bce_loss,
+    )
+    from ultra_tpu.train.loop import init_train_state, make_optimizer
+
+    graph, host, cfg, params, kind, operand = _query_setup()
+    reps = 8 // kind.shape[0] + 1
+    kind = np.concatenate([kind] * reps)[:8]
+    operand = np.concatenate([operand] * reps)[:8]
+    qcfg = QueryConfig(dropout_ratio=0.5)
+    planner = DropoutPlanner(host)
+
+    n_dev = 8
+    shards = np.array_split(np.arange(8), n_dev)
+    plans = [
+        simulate_symbolic(
+            kind[rs], operand[rs], host, qcfg, np.random.default_rng(100 + s),
+            training=True, planner=planner,
+        )
+        for s, rs in enumerate(shards)
+    ]
+    slot_ew, slot_rel = per_rank_slot_weights(graph, plans)
+    # shards drew different dropout masks (else the test shows nothing)
+    assert any(
+        not np.array_equal(slot_ew[i, 0], slot_ew[i, 1])
+        for i in range(slot_ew.shape[0])
+    )
+
+    rng = np.random.default_rng(0)
+    target = (rng.random((8, graph.num_nodes)) < 0.05).astype(np.float32)
+    opt = make_optimizer(lr=1e-3)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev), ("data",))
+    step = make_per_rank_query_train_step(cfg, qcfg, opt, mesh,
+                                          adversarial_temperature=1.0)(graph)
+    state = init_train_state(params, opt)
+    state, loss = step(
+        state, graph, jnp.asarray(slot_ew), jnp.asarray(slot_rel),
+        jnp.asarray(kind), jnp.asarray(operand), jnp.asarray(target),
+    )
+
+    def ddp_loss(p):
+        losses = []
+        for s, rs in enumerate(shards):
+            slot_graphs = []
+            for i in range(slot_ew.shape[0]):
+                rg = graph.relation_graph.replace(
+                    edge_weight=jnp.asarray(slot_rel[i, s])
+                )
+                slot_graphs.append(graph.replace(
+                    edge_weight=jnp.asarray(slot_ew[i, s]), relation_graph=rg
+                ))
+            pred = execute(
+                p, cfg, qcfg, slot_graphs,
+                jnp.asarray(kind[rs]), jnp.asarray(operand[rs]),
+            )
+            losses.append(query_bce_loss(pred, jnp.asarray(target[rs]), 1.0))
+        return jnp.mean(jnp.stack(losses))
+
+    loss_ref, grads_ref = jax.value_and_grad(ddp_loss)(params)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    upd, _ = opt.update(grads_ref, init_train_state(params, opt).opt_state, params)
+    params_ref = optax.apply_updates(params, upd)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5)

@@ -97,6 +97,54 @@ def test_sharded_train_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5)
 
 
+def test_per_rank_easy_edges_matches_ddp_semantics(setup):
+    """Reference-DDP compat mode: each data shard masks only its own rows'
+    easy edges. Oracle: mean of per-shard single-device losses, each with
+    its own mask (exactly what DDP gradient averaging computes)."""
+    graph, ei, et, index, cfg, params = setup
+    n_data = 4
+    mesh = make_mesh(data=n_data, edge=2)
+    opt = make_optimizer(lr=1e-3)
+
+    rng = np.random.default_rng(9)
+    n_direct = ei.shape[1] // 2
+    triples = np.stack([ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]], axis=1)
+    batch_triples = triples[rng.choice(len(triples), size=8, replace=False)]
+    batch = tasks.negative_sampling(index, batch_triples, num_negative=4, rng=rng)
+    shards = np.array_split(batch, n_data)
+    ew = np.stack([
+        tasks.easy_edge_weights(index, rows, graph.num_edges_padded)
+        for rows in shards
+    ])
+    assert not np.allclose(ew[0], ew[1])  # masks genuinely differ per shard
+
+    step = make_sharded_train_step(
+        mesh, cfg, opt, graph, num_negative=4, per_rank_easy_edges=True
+    )
+    state = init_train_state(params, opt)
+    state, loss = step(state, graph, jnp.asarray(batch), jnp.asarray(ew))
+
+    # oracle: DDP = average of per-shard losses, each on its own masked graph
+    from ultra_tpu.train.loop import self_adversarial_bce
+
+    def ddp_loss(p):
+        losses = []
+        for rows, w in zip(shards, ew):
+            g = graph.replace(edge_weight=jnp.asarray(w))
+            pred = ultra_apply(p, cfg, g, jnp.asarray(rows))
+            losses.append(self_adversarial_bce(pred, 1.0, 4))
+        return jnp.mean(jnp.stack(losses))
+
+    loss_ref, grads_ref = jax.value_and_grad(ddp_loss)(params)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-4)
+    upd, _ = opt.update(grads_ref, init_train_state(params, opt).opt_state, params)
+    import optax
+
+    params_ref = optax.apply_updates(params, upd)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5)
+
+
 def test_sharded_pallas_plans_match_single_device(setup):
     """Edge-partitioned rspmm on the PALLAS path: stacked per-shard plans
     inside shard_map must reproduce the single-device scores."""

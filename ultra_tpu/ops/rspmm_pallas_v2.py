@@ -339,7 +339,12 @@ def rspmm_v2_fwd(
     if plan.num_chunks == 0:
         return jnp.zeros((rows, f), jnp.float32)
     f_blk = min(f_block, f)
-    assert f % f_blk == 0, (f, f_blk)
+    if f % f_blk:
+        # largest lane-aligned divisor of f (e.g. F = 14*64 = 896 -> 128);
+        # fall back to one full-width block for odd small widths
+        f_blk = next(
+            (d for d in range(f_blk - f_blk % 128, 0, -128) if f % d == 0), f
+        )
     nf = f // f_blk
     prec = _prec(precision)
     # bf16 stream halves the gather traffic and matches the v1 default

@@ -62,11 +62,20 @@ def make_sharded_train_step(
     num_negative: int = 256,
     edge_axis: Optional[str] = "edge",
     data_axis: str = "data",
+    per_rank_easy_edges: bool = False,
 ):
     """Returns jitted (state, graph, batch, edge_weight) -> (state, loss).
 
     batch: (B, 1+K, 3) global; B must divide the data-axis size.
     edge_weight: (E_pad,) easy-edge mask (tasks.easy_edge_weights).
+
+    ``per_rank_easy_edges``: reference-DDP compat mode — each data shard
+    masks only its OWN batch rows' easy edges (run.py:44-46 semantics,
+    where every GPU edits its private graph replica). ``edge_weight`` then
+    has shape (n_data, E_pad), row s built from data shard s's rows. The
+    default (False) masks the whole global batch on every shard, which
+    keeps numerics process-count invariant; the compat mode instead
+    matches a world-size-N reference run bit-for-bit (modulo dtype).
     """
     plans_sharded = (
         graph.plans is not None and getattr(graph.plans, "num_shards", 0) > 0
@@ -74,9 +83,13 @@ def make_sharded_train_step(
     inner_cfg = _sharded_cfg(cfg, edge_axis, plans_sharded)
     gspec = graph_pspec(graph, edge_axis)
     wspec = P() if plans_sharded else P(edge_axis)
+    if per_rank_easy_edges:
+        wspec = P(data_axis) if plans_sharded else P(data_axis, edge_axis)
 
     def local_loss(params, graph_shard: Graph, batch, edge_weight):
         graph_shard = _local_plans(graph_shard, plans_sharded)
+        if per_rank_easy_edges:
+            edge_weight = edge_weight[0]  # (1, E) slice -> this shard's mask
         graph_shard = graph_shard.replace(edge_weight=edge_weight)
         pred = ultra_apply(params, inner_cfg, graph_shard, batch)
         loss = self_adversarial_bce(pred, adversarial_temperature, num_negative)

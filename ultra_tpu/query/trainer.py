@@ -202,6 +202,91 @@ def make_sharded_query_train_step(
     return make
 
 
+def make_per_rank_query_train_step(
+    ultra_cfg: UltraConfig,
+    qcfg: QueryConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    adversarial_temperature: float = 1.0,
+    data_axis: str = "data",
+):
+    """Reference-DDP compat twin of make_sharded_query_train_step: every
+    data shard applies its OWN traversal-dropout masks (the reference draws
+    per-rank dropout under DDP, ultraquery.py:34-83 + run.py:234 rank-coupled
+    seeding), instead of the default replicated per-batch masks.
+
+    Step signature: (state, base_graph, slot_ew (S, n_data, E_pad),
+    slot_rel_ew (S, n_data, E_rel_pad), kind, operand, target) — the stacked
+    weight tensors shard over '{data}' on axis 1; slots without dropout
+    carry the base weights. Requires the DropoutPlanner fast path (relation
+    edits as weight masks over the shared base relation graph)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_loss(params, base_graph, slot_ew, slot_rel_ew, kind, operand, target):
+        graphs = []
+        for i in range(slot_ew.shape[0]):
+            rg = base_graph.relation_graph.replace(edge_weight=slot_rel_ew[i, 0])
+            graphs.append(
+                base_graph.replace(edge_weight=slot_ew[i, 0], relation_graph=rg)
+            )
+        pred = execute(params, ultra_cfg, qcfg, graphs, kind, operand)
+        loss = query_bce_loss(pred, target, adversarial_temperature)
+        return jax.lax.pmean(loss, data_axis)
+
+    def make(base_graph):
+        gspec = jax.tree.map(lambda _: P(), base_graph)
+        sharded = shard_map(
+            local_loss,
+            mesh=mesh,
+            in_specs=(P(), gspec, P(None, data_axis), P(None, data_axis),
+                      P(data_axis), P(data_axis), P(data_axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step(state: TrainState, base_graph, slot_ew, slot_rel_ew,
+                 kind, operand, target):
+            loss, grads = jax.value_and_grad(sharded)(
+                state.params, base_graph, slot_ew, slot_rel_ew,
+                kind, operand, target,
+            )
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        return step
+
+    return make
+
+
+def per_rank_slot_weights(
+    base_graph: Graph,
+    plans: Sequence,  # one SymbolicPlan per data shard
+) -> tuple:
+    """Stack per-shard SymbolicPlans into the (S, n_data, E) weight tensors
+    make_per_rank_query_train_step expects; None slots get base weights."""
+    n = len(plans)
+    s = len(plans[0].slot_weights)
+    ew_base = np.asarray(base_graph.edge_weight, np.float32)
+    rel_base = np.asarray(base_graph.relation_graph.edge_weight, np.float32)
+    rel_pad = base_graph.relation_graph.num_edges_padded
+    slot_ew = np.broadcast_to(ew_base, (s, n, len(ew_base))).copy()
+    slot_rel = np.broadcast_to(rel_base, (s, n, rel_pad)).copy()
+    for si, plan in enumerate(plans):
+        assert len(plan.slot_weights) == s, "shards must share program length"
+        for i, (w, rg) in enumerate(zip(plan.slot_weights, plan.slot_rel_graphs)):
+            if w is None:
+                continue
+            slot_ew[i, si] = w
+            assert isinstance(rg, np.ndarray), (
+                "per-rank dropout requires the DropoutPlanner fast path"
+            )
+            slot_rel[i, si] = np.pad(rg, (0, rel_pad - len(rg)))
+    return slot_ew, slot_rel
+
+
 def make_query_forward(ultra_cfg: UltraConfig, qcfg: QueryConfig):
     @jax.jit
     def fwd(params, graph: Graph, kind, operand, rel_reprs_all=None):
@@ -359,17 +444,27 @@ def train_queries(
 
     optimizer = make_optimizer(lr=float(cfg["optimizer"].get("lr", 5e-4)))
     state = init_train_state(params, optimizer)
+    # reference-DDP compat: per data shard traversal dropout (rank-coupled
+    # rngs, run.py:234) instead of the default replicated per-batch masks
+    per_rank = bool(task_cfg.get("per_rank_traversal_dropout", False))
+    n_dev = jax.device_count()
     if bool(train_cfg.get("data_parallel", False)):
         from jax.sharding import Mesh
 
-        n_dev = jax.device_count()
         assert batch_size % n_dev == 0, (batch_size, n_dev)
         mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev), ("data",))
-        step_factory = make_sharded_query_train_step(
-            ultra_cfg, qcfg, optimizer, mesh, adv_temp
-        )
-        step_fn = None  # built lazily from the first batch's slot structure
+        if per_rank:
+            step_fn = make_per_rank_query_train_step(
+                ultra_cfg, qcfg, optimizer, mesh, adv_temp
+            )(base_graph)
+            step_factory = None
+        else:
+            step_factory = make_sharded_query_train_step(
+                ultra_cfg, qcfg, optimizer, mesh, adv_temp
+            )
+            step_fn = None  # built lazily from the first batch's slot structure
     else:
+        assert not per_rank, "per_rank_traversal_dropout requires data_parallel"
         step_factory = None
         step_fn = make_query_train_step(ultra_cfg, qcfg, optimizer, adv_temp)
 
@@ -377,6 +472,8 @@ def train_queries(
     train_idx = np.arange(tr_lo, tr_hi)
     valid_idx = np.arange(va_lo, va_hi)
     rng = np.random.default_rng(seed)
+    # rank-coupled streams for per-rank dropout (run.py:234 seeding pattern)
+    rank_rngs = [np.random.default_rng(seed + s) for s in range(n_dev)]
     tracker = ckpt_lib.BestModelTracker(workdir)
     steps_per_epoch = batch_per_epoch or math.ceil(len(train_idx) / batch_size)
     epoch_block = math.ceil(num_epoch / 10)
@@ -393,14 +490,32 @@ def train_queries(
                 while len(take) < batch_size:  # wrap (tiny datasets: repeat)
                     take = np.concatenate([take, perm[: batch_size - len(take)]])
                 kind, operand = ops.decompose(dataset.queries[take])
+                target = answers_to_mask(
+                    [dataset.easy_answers[i] for i in take], v
+                ).astype(np.float32)
+                if per_rank:
+                    shards = np.array_split(np.arange(batch_size), n_dev)
+                    plans = [
+                        simulate_symbolic(
+                            kind[rs], operand[rs], graph_host, qcfg,
+                            rank_rngs[s], rel_pad_to=rel_pad,
+                            training=True, planner=planner,
+                        )
+                        for s, rs in enumerate(shards)
+                    ]
+                    slot_ew, slot_rel = per_rank_slot_weights(base_graph, plans)
+                    state, loss = step_fn(
+                        state, base_graph, jnp.asarray(slot_ew),
+                        jnp.asarray(slot_rel), jnp.asarray(kind),
+                        jnp.asarray(operand), jnp.asarray(target),
+                    )
+                    losses.append(loss)
+                    continue
                 plan = simulate_symbolic(
                     kind, operand, graph_host, qcfg, rng, rel_pad_to=rel_pad,
                     training=True, planner=planner,
                 )
                 slot_graphs = graphs_for_slots(base_graph, plan)
-                target = answers_to_mask(
-                    [dataset.easy_answers[i] for i in take], v
-                ).astype(np.float32)
                 if step_fn is None:
                     step_fn = step_factory(slot_graphs)
                 state, loss = step_fn(

@@ -25,6 +25,12 @@ identical at ANY process count. ``process_count() == 1`` is therefore the
 exact parity oracle for a multi-host run (verified by
 tests/test_multiprocess.py on a real 2-process CPU cluster).
 
+Compat mode: ``task_cfg["per_rank_easy_edges"] = true`` restores the
+reference's per-rank semantics — each data shard masks only its own batch
+rows' easy edges (run.py:44-46), so a run matches a world-size-n_data
+reference run instead of the single-device one (numerics then depend on
+the shard count, exactly as the reference's depend on world size).
+
 Like the reference's DistributedSampler(drop_last=False), shard padding
 wraps around, so a handful of duplicated eval triples can be counted twice
 when the shard size doesn't divide evenly — same small bias as upstream.
@@ -111,6 +117,10 @@ def train_distributed(
     num_negative = int(task_cfg.get("num_negative", 256))
     adv_temp = float(task_cfg.get("adversarial_temperature", 1.0))
     strict = bool(task_cfg.get("strict_negative", True))
+    # reference-DDP compat: each data shard removes only its own rows' easy
+    # edges (run.py:44-46). Numerics then depend on the shard count, exactly
+    # like the reference's depend on world size.
+    per_rank = bool(task_cfg.get("per_rank_easy_edges", False))
 
     world = multihost.process_count()
     pid = multihost.process_index()
@@ -126,7 +136,7 @@ def train_distributed(
     step_fn = make_sharded_train_step(
         mesh, ultra_cfg, optimizer, graph,
         adversarial_temperature=adv_temp, num_negative=num_negative,
-        edge_axis=edge_axis,
+        edge_axis=edge_axis, per_rank_easy_edges=per_rank,
     )
     # replicated-by-construction numpy leaves (identical on all processes)
     graph_np = jax.tree.map(np.asarray, graph)
@@ -159,10 +169,23 @@ def train_distributed(
                         strict=strict, rng=rank_rngs[p],
                     )
                 )
-            ew = tasks.easy_edge_weights(
-                train_index, np.concatenate(all_rows), graph.num_edges_padded,
-                remove_one_hop=ultra_cfg.entity_model.remove_one_hop,
-            )
+            global_rows = np.concatenate(all_rows)
+            if per_rank:
+                # one mask per data shard, from that shard's slice of the
+                # global batch (shards are contiguous over the batch axis)
+                per_shard = np.array_split(global_rows, n_data)
+                ew = np.stack([
+                    tasks.easy_edge_weights(
+                        train_index, rows, graph.num_edges_padded,
+                        remove_one_hop=ultra_cfg.entity_model.remove_one_hop,
+                    )
+                    for rows in per_shard
+                ])
+            else:
+                ew = tasks.easy_edge_weights(
+                    train_index, global_rows, graph.num_edges_padded,
+                    remove_one_hop=ultra_cfg.entity_model.remove_one_hop,
+                )
             batch_g = multihost.host_local_batch_to_global(mesh, np.asarray(all_rows[pid]))
             state, loss = step_fn(state, graph_np, batch_g, jnp.asarray(ew))
             losses.append(loss)
