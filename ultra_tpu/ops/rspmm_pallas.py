@@ -954,9 +954,12 @@ class GraphPlans:
     dst: PallasPlan  # reduce over dst (forward, rel-grad)
     src: PallasPlan  # reduce over src (input-grad)
     num_shards: int = struct.field(pytree_node=False, default=0)
-    # optional v2 (gather+fold) forward plan — see rspmm_pallas_v2.py; the
-    # sum primal uses it when present, gradients keep the v1 kernels
+    # optional v2 (gather+fold) plans — see rspmm_pallas_v2.py; the sum
+    # primal uses ``v2`` and its input-grad uses ``v2src`` (the same
+    # computation with src/dst roles swapped) when present; rel-grad and
+    # min/max keep the v1 kernels
     v2: Optional[object] = None
+    v2src: Optional[object] = None
 
     @classmethod
     def build(
@@ -1096,7 +1099,11 @@ def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=N
             ei[:, live], et[live], graph.num_nodes, graph.num_relations,
             chunk=v2_chunk, edge_ids=live, dead_slot=graph.num_edges_padded,
         )
-        plans = plans.replace(v2=plan2)
+        plan2s = build_plan_v2(
+            ei[::-1][:, live], et[live], graph.num_nodes, graph.num_relations,
+            chunk=v2_chunk, edge_ids=live, dead_slot=graph.num_edges_padded,
+        )
+        plans = plans.replace(v2=plan2, v2src=plan2s)
     return graph.replace(plans=plans)
 
 
@@ -1142,21 +1149,44 @@ def _bwd(mul, num_nodes, precision, res, g):
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
     g2 = _flatten(g)
+    f = int(np.prod(shape[1:]))
     # d_x[src] = sum_e w * rel[type] * g[dst]  (mul) | sum_e w * g[dst] (add)
-    d_x = rspmm_pallas_fwd(
-        plans.src,
-        _flatten(relation) if mul == "mul" else jnp.ones_like(_flatten(relation)),
-        g2,
-        w_ext,
-        mul="mul",
-        out_rows=x.shape[0],
-        precision=precision,
-    ).reshape(shape)
+    # — the forward with src/dst roles swapped, so the v2 gather+fold plan
+    # applies under the same HBM-footprint gate as the primal
+    rel_or_ones = (
+        _flatten(relation) if mul == "mul" else jnp.ones_like(_flatten(relation))
+    )
+    if plans.v2src is not None and plans.v2src.e_pad * f * 2 <= 2**31:
+        from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_fwd
+
+        d_x = rspmm_v2_fwd(
+            plans.v2src, rel_or_ones, g2, w_ext, mul="mul",
+            out_rows=x.shape[0], precision=precision,
+        ).reshape(shape)
+    else:
+        d_x = rspmm_pallas_fwd(
+            plans.src,
+            rel_or_ones,
+            g2,
+            w_ext,
+            mul="mul",
+            out_rows=x.shape[0],
+            precision=precision,
+        ).reshape(shape)
     # d_rel[type] = sum_e w * x[src] * g[dst]  (mul) | sum_e w * g[dst] (add)
-    d_rel = rspmm_pallas_rel_grad(
-        plans.dst, _flatten(x), g2, w_ext, relation.shape[0], mul=mul,
-        precision=precision,
-    ).reshape(relation.shape)
+    if (plans.v2 is not None and mul == "mul"
+            and plans.v2.e_pad * f * 2 <= 2**31):
+        from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_drel
+
+        d_rel = rspmm_v2_drel(
+            plans.v2, _flatten(x), g2, w_ext, relation.shape[0],
+            precision=precision,
+        ).reshape(relation.shape)
+    else:
+        d_rel = rspmm_pallas_rel_grad(
+            plans.dst, _flatten(x), g2, w_ext, relation.shape[0], mul=mul,
+            precision=precision,
+        ).reshape(relation.shape)
     # d_w[e] = sum_f m * g[dst] (XLA prunes this kernel when w isn't
     # differentiated downstream)
     d_w = None

@@ -79,6 +79,7 @@ class PlanV2:
     #                        one row per ALIGN-edge flush group
     k2_blk: jax.Array      # (K2,) int32 — compact-dst block per flush group
     rank: jax.Array        # (V,) int32 — node -> compact row (pads -> n_c_pad)
+    present: jax.Array     # (n_c_pad,) int32 — compact row -> node id (pads 0)
     num_chunks: int = struct.field(pytree_node=False)
     chunk: int = struct.field(pytree_node=False)
     tw: int = struct.field(pytree_node=False)
@@ -248,6 +249,8 @@ def build_plan_v2(
 
     n_c_pad = _round_up(max(n_c, 1), rb2)
     rank_out = np.where(rank >= 0, rank, n_c_pad).astype(np.int32)
+    present_pad = np.zeros(n_c_pad, np.int64)
+    present_pad[:n_c] = present
     return PlanV2(
         src_p=jnp.asarray(src_p.astype(np.int32)),
         perm=jnp.asarray(perm.astype(np.int32)),
@@ -257,6 +260,7 @@ def build_plan_v2(
         k2_local=jnp.asarray(k2_local.reshape(k2, ALIGN // FOLD)),
         k2_blk=jnp.asarray(k2_blk),
         rank=jnp.asarray(rank_out),
+        present=jnp.asarray(present_pad.astype(np.int32)),
         num_chunks=k,
         chunk=chunk,
         tw=int(tw),
@@ -398,3 +402,119 @@ def rspmm_v2_fwd(
     out_ext = jnp.concatenate([out_c, jnp.zeros((1, f), out_c.dtype)])
     return jnp.take(out_ext, jnp.minimum(plan.rank[:rows], plan.n_compact_pad),
                     axis=0)
+
+
+def _drel_kernel(c, g, tw, rb2, prec,
+                 group_ref, blk_ref, tl_ref, w_ref, k2l_ref, xe_ref, gc_ref,
+                 out_ref):
+    """Relation gradient over the same dst-major edge layout:
+    d_tab[tl_e] += w_e * x_e ⊙ g[dst_e], with g[dst] expanded from the
+    VMEM-resident compact-dst block (no second HBM gather): slot rows via a
+    one-hot over k2_local, edges via the fold band transposed. Output is
+    the per-group local table block (tw, F), revisited per group run."""
+    k = pl.program_id(1)
+    row = jax.lax.rem(k, 8)
+    nslot = c // FOLD
+    cdt = xe_ref.dtype
+
+    tl = tl_ref[pl.ds(row, 1), :][0]
+    wcol = w_ref[pl.ds(row, 1), :][0][:, None].astype(cdt)
+    lred = k2l_ref[
+        pl.ds(jax.lax.rem(k // g, 8), 1),
+        pl.ds(jax.lax.rem(k, g) * nslot, nslot),
+    ][0]
+    sel_g = _onehot(lred, rb2, cdt)                     # (nslot, rb2)
+    slot_g = jnp.dot(sel_g, gc_ref[:], preferred_element_type=jnp.float32,
+                     precision=prec).astype(cdt)        # (nslot, F)
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (c, nslot), 0)
+    cols_s = jax.lax.broadcasted_iota(jnp.int32, (c, nslot), 1)
+    expand = (rows_c // FOLD == cols_s).astype(cdt)     # fold band transposed
+    g_e = jnp.dot(expand, slot_g, preferred_element_type=jnp.float32,
+                  precision=prec).astype(cdt)           # (c, F)
+    prod = xe_ref[:] * wcol * g_e
+    sel_t = _onehot(tl, tw, jnp.float32)                # (c, tw)
+
+    @pl.when((k == 0) | (group_ref[k] != group_ref[jnp.maximum(k - 1, 0)]))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jax.lax.dot_general(
+        sel_t, prod,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def rspmm_v2_drel(
+    plan: PlanV2,
+    x: jax.Array,            # (V, F)
+    grad: jax.Array,         # (V, F) upstream gradient over output nodes
+    edge_weight_ext: jax.Array,
+    num_rel_rows: int,
+    *,
+    f_block: int = 512,
+    precision=None,
+) -> jax.Array:
+    """d_rel[t] = sum_e w_e * x[src_e] * grad[dst_e]  (distmult/mul only —
+    the add/transe rel-grad does not need the x stream and stays on the v1
+    kernel). Same gather+fold layout as the forward; grad rows come from
+    the resident compact-dst block instead of a second gather."""
+    n, f = x.shape
+    if plan.num_chunks == 0:
+        return jnp.zeros((num_rel_rows, f), jnp.float32)
+    f_blk = min(f_block, f)
+    if f % f_blk:
+        f_blk = next(
+            (d for d in range(f_blk - f_blk % 128, 0, -128) if f % d == 0), f
+        )
+    nf = f // f_blk
+    prec = _prec(precision)
+    stream_dt = (
+        jnp.float32 if (prec is not None or _interpret()) else jnp.bfloat16
+    )
+
+    x_e = jnp.take(x.astype(stream_dt), plan.src_p, axis=0)        # (E_pad, F)
+    g_c = jnp.take(grad.astype(stream_dt), plan.present, axis=0)   # (n_c_pad, F)
+    w_p = jnp.take(edge_weight_ext, plan.perm, axis=0)
+
+    k, c = plan.num_chunks, plan.chunk
+    gsz = ALIGN // c
+    w_kc = _pad8(w_p.reshape(k, c))
+    tl = _pad8(plan.type_local)
+
+    out_tab = pl.pallas_call(
+        functools.partial(_drel_kernel, c, gsz, plan.tw, plan.rb2, prec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nf, k),
+            in_specs=[
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),    # type_local
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),    # weights
+                pl.BlockSpec(
+                    (8, ALIGN // FOLD),
+                    lambda j, k, g, b: (k // (8 * gsz), 0)),             # k2_local
+                pl.BlockSpec((c, f_blk), lambda j, k, g, b: (k, j)),     # x_e
+                pl.BlockSpec((plan.rb2, f_blk),
+                             lambda j, k, g, b: (b[k // gsz], j)),       # g block
+            ],
+            out_specs=pl.BlockSpec(
+                (plan.tw, f_blk), lambda j, k, g, b: (g[k], j)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((plan.n_groups * plan.tw, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(plan.group_id, plan.k2_blk, tl, w_kc, _pad8(plan.k2_local), x_e, g_c)
+
+    # local tables -> global relation rows (a tiny one-hot contraction; the
+    # same type may appear in several groups and sums correctly)
+    r_pad = max(_round_up(num_rel_rows, 8), 8)
+    sel = _onehot(plan.table_ids, r_pad, jnp.float32)   # (n_tab, r_pad)
+    out = jax.lax.dot_general(
+        sel, out_tab,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out[:num_rel_rows]
