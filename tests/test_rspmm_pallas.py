@@ -278,3 +278,30 @@ def test_pallas_minmax_weight_grad_matches_xla(rng, sum_op, mul_op):
     np.testing.assert_allclose(
         np.asarray(gp)[live], np.asarray(gx)[live], rtol=5e-3, atol=5e-3
     )
+
+
+def test_v2_feature_slicing_matches_unsliced(rng, monkeypatch):
+    """Wide feature axes run as independent F-slices (SLICE_BYTES cap) —
+    forward and both gradients must match the unsliced path exactly."""
+    from ultra_tpu.ops import rspmm_pallas_v2 as v2mod
+
+    ei, et, ew, rel, x = make_inputs(rng, v=40, r=5, e=150, b=4, d=64)
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0], pad_to=192)
+    graph = attach_plans(graph, rb=32, chunk=64)
+    rel_j, x_j = jnp.asarray(rel), jnp.asarray(x)
+
+    def loss(r_, x_):
+        out = rspmm_pallas_sum("mul", v, None, graph.plans, r_, x_, graph.edge_weight)
+        return jnp.sum(jnp.sin(out))
+
+    l0, (gr0, gx0) = jax.value_and_grad(loss, argnums=(0, 1))(rel_j, x_j)
+
+    # force slicing: cap the stream to one 128-wide slice per pass
+    monkeypatch.setattr(v2mod, "SLICE_BYTES", graph.plans.v2.e_pad * 2 * 128)
+    assert v2mod._f_slice_width(graph.plans.v2.e_pad, 4 * 64) == 128
+    l1, (gr1, gx1) = jax.value_and_grad(loss, argnums=(0, 1))(rel_j, x_j)
+
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gr1), np.asarray(gr0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0), rtol=1e-5, atol=1e-6)

@@ -1119,10 +1119,9 @@ def rspmm_pallas_sum(mul: str, num_nodes: int, precision, plans: GraphPlans,
     applied to forward and both gradient kernels."""
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
-    f = int(np.prod(shape[1:]))
-    # v2 materializes an (E_pad, F) gather; gate on its HBM footprint so
-    # wide-batch training shapes stay on the v1 fused path
-    if plans.v2 is not None and plans.v2.e_pad * f * 2 <= 2**31:
+    # v2 slices wide feature axes internally (SLICE_BYTES), so it serves
+    # every batch width when a plan is attached
+    if plans.v2 is not None:
         from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_fwd
 
         out = rspmm_v2_fwd(
@@ -1149,14 +1148,13 @@ def _bwd(mul, num_nodes, precision, res, g):
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
     g2 = _flatten(g)
-    f = int(np.prod(shape[1:]))
     # d_x[src] = sum_e w * rel[type] * g[dst]  (mul) | sum_e w * g[dst] (add)
     # — the forward with src/dst roles swapped, so the v2 gather+fold plan
-    # applies under the same HBM-footprint gate as the primal
+    # applies directly
     rel_or_ones = (
         _flatten(relation) if mul == "mul" else jnp.ones_like(_flatten(relation))
     )
-    if plans.v2src is not None and plans.v2src.e_pad * f * 2 <= 2**31:
+    if plans.v2src is not None:
         from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_fwd
 
         d_x = rspmm_v2_fwd(
@@ -1174,8 +1172,7 @@ def _bwd(mul, num_nodes, precision, res, g):
             precision=precision,
         ).reshape(shape)
     # d_rel[type] = sum_e w * x[src] * g[dst]  (mul) | sum_e w * g[dst] (add)
-    if (plans.v2 is not None and mul == "mul"
-            and plans.v2.e_pad * f * 2 <= 2**31):
+    if plans.v2 is not None and mul == "mul":
         from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_drel
 
         d_rel = rspmm_v2_drel(

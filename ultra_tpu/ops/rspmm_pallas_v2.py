@@ -63,6 +63,16 @@ from ultra_tpu.ops.rspmm_pallas import _interpret, _onehot, _pad8, _prec, _round
 
 FOLD = 8    # edges folded per slot on the MXU (sublane granularity)
 ALIGN = 1024  # edge-layout block alignment = one flush group (128 slots)
+# Max bytes of (E_pad, F) bf16 gather stream materialized at once; wider
+# feature axes are processed in independent F-slices (the whole pipeline is
+# elementwise along F), so v2 serves any batch width with bounded HBM.
+SLICE_BYTES = 10**9
+
+
+def _f_slice_width(e_pad: int, f: int) -> int:
+    """Largest lane-aligned slice width whose stream fits SLICE_BYTES."""
+    max_f = max(128, SLICE_BYTES // (e_pad * 2) // 128 * 128)
+    return f if f <= max_f else max_f
 
 
 @struct.dataclass
@@ -342,6 +352,19 @@ def rspmm_v2_fwd(
     rows = out_rows if out_rows is not None else n
     if plan.num_chunks == 0:
         return jnp.zeros((rows, f), jnp.float32)
+    fs = _f_slice_width(plan.e_pad, f)
+    if fs < f:  # wide batch: independent feature slices, bounded HBM
+        return jnp.concatenate(
+            [
+                rspmm_v2_fwd(
+                    plan, relation[:, s:s + fs], x[:, s:s + fs],
+                    edge_weight_ext, mul=mul, out_rows=out_rows,
+                    f_block=f_block, precision=precision,
+                )
+                for s in range(0, f, fs)
+            ],
+            axis=1,
+        )
     f_blk = min(f_block, f)
     if f % f_blk:
         # largest lane-aligned divisor of f (e.g. F = 14*64 = 896 -> 128);
@@ -462,6 +485,18 @@ def rspmm_v2_drel(
     n, f = x.shape
     if plan.num_chunks == 0:
         return jnp.zeros((num_rel_rows, f), jnp.float32)
+    fs = _f_slice_width(plan.e_pad, f)
+    if fs < f:
+        return jnp.concatenate(
+            [
+                rspmm_v2_drel(
+                    plan, x[:, s:s + fs], grad[:, s:s + fs], edge_weight_ext,
+                    num_rel_rows, f_block=f_block, precision=precision,
+                )
+                for s in range(0, f, fs)
+            ],
+            axis=1,
+        )
     f_blk = min(f_block, f)
     if f % f_blk:
         f_blk = next(

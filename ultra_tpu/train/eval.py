@@ -62,16 +62,9 @@ def precompute_relation_representations(params, cfg: UltraConfig, graph: Graph, 
     return jnp.concatenate(outs, axis=0)[:r_total]  # (R, R, D)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def score_and_rank_batch_cached(
+def _score_and_rank_cached(
     params, cfg: UltraConfig, graph: Graph, rel_reprs_all, batch, t_mask, h_mask
 ):
-    """score_and_rank_batch using precomputed (R, R, D) relation outputs.
-
-    Both prediction directions run as ONE entity-model pass over a 2B-query
-    batch (they share the graph): halves fixed per-call costs and doubles
-    the kernel's feature width.
-    """
     from ultra_tpu.models.nbfnet import entity_nbfnet_score_all
 
     h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
@@ -88,6 +81,41 @@ def score_and_rank_batch_cached(
     t_rank = tasks.compute_ranking(t_pred, t, t_mask)
     h_rank = tasks.compute_ranking(h_pred, h, h_mask)
     return t_rank, h_rank
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def score_and_rank_batch_cached(
+    params, cfg: UltraConfig, graph: Graph, rel_reprs_all, batch, t_mask, h_mask
+):
+    """score_and_rank_batch using precomputed (R, R, D) relation outputs.
+
+    Both prediction directions run as ONE entity-model pass over a 2B-query
+    batch (they share the graph): halves fixed per-call costs and doubles
+    the kernel's feature width.
+    """
+    return _score_and_rank_cached(
+        params, cfg, graph, rel_reprs_all, batch, t_mask, h_mask
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def score_and_rank_group_cached(
+    params, cfg: UltraConfig, graph: Graph, rel_reprs_all, batches, t_masks, h_masks
+):
+    """G batches per dispatch via lax.scan: batches (G, B, 3), masks
+    (G, B, V). The tunneled TPU pays a large fixed cost per executable
+    launch (measured ~0.4 s — it scales with the ~150 param/graph/plan
+    input buffers, not with compute), so grouping G batches into one launch
+    amortizes it G-fold."""
+
+    def body(carry, inp):
+        batch, t_mask, h_mask = inp
+        return carry, _score_and_rank_cached(
+            params, cfg, graph, rel_reprs_all, batch, t_mask, h_mask
+        )
+
+    _, (t_rank, h_rank) = jax.lax.scan(body, 0, (batches, t_masks, h_masks))
+    return t_rank, h_rank  # (G, B) each
 
 
 def evaluate(
@@ -131,11 +159,17 @@ def collect_rankings(
     filtered_index: tasks.GraphIndex,
     batch_size: int = 8,
     cache_relations: Optional[bool] = None,
+    dispatch_group: int = 8,
 ):
     """Raw filtered rank / negative-count vectors for a triple list —
     the per-process unit of distributed evaluation (each process runs this
     on its shard, then rank vectors concat across hosts, run.py:155-186).
-    Returns (ranking, num_negative, ranking_tail, num_negative_tail)."""
+    Returns (ranking, num_negative, ranking_tail, num_negative_tail).
+
+    ``dispatch_group``: batches per device launch on the cached path (one
+    lax.scan inside jit) — amortizes the tunneled chip's per-launch fixed
+    cost; host mask-building and transfers for group i+1 overlap device
+    compute of group i (one-group pipeline)."""
     if cache_relations is None:
         cache_relations = len(trips) / batch_size > graph.num_relations / 64
     rel_reprs_all = (
@@ -147,29 +181,63 @@ def collect_rankings(
     n = len(trips)
     rankings, num_negatives = [], []
     tail_rankings, num_tail_negs = [], []
-    for start in range(0, n, batch_size):
-        batch = trips[start : start + batch_size]
+
+    def submit_batch(batch):
         valid = len(batch)
         if valid < batch_size:  # pad last batch, drop padded results
-            batch = np.concatenate([batch, np.repeat(batch[-1:], batch_size - valid, axis=0)])
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:], batch_size - valid, axis=0)]
+            )
         t_mask, h_mask = tasks.strict_negative_mask(filtered_index, batch)
-        if rel_reprs_all is not None:
-            t_rank, h_rank = score_and_rank_batch_cached(
+        return batch, t_mask, h_mask, valid
+
+    def collect(pending):
+        # materialize the previous launch's device results (blocks)
+        t_rank, h_rank, t_masks, h_masks, valids = pending
+        t_rank, h_rank = np.asarray(t_rank), np.asarray(h_rank)
+        for i, valid in enumerate(valids):
+            tr, hr = t_rank[i][:valid], h_rank[i][:valid]
+            rankings.extend([tr, hr])
+            num_negatives.extend(
+                [t_masks[i].sum(axis=-1)[:valid], h_masks[i].sum(axis=-1)[:valid]]
+            )
+            tail_rankings.append(tr)
+            num_tail_negs.append(t_masks[i].sum(axis=-1)[:valid])
+
+    batch_starts = list(range(0, n, batch_size))
+    pending = None
+    if rel_reprs_all is not None:
+        for gstart in range(0, len(batch_starts), dispatch_group):
+            group = [
+                submit_batch(trips[s : s + batch_size])
+                for s in batch_starts[gstart : gstart + dispatch_group]
+            ]
+            while len(group) < dispatch_group:  # keep one jit shape
+                b, tm, hm, _ = group[-1]
+                group.append((b, tm, hm, 0))
+            batches = np.stack([b for b, _, _, _ in group])
+            t_masks = np.stack([tm for _, tm, _, _ in group])
+            h_masks = np.stack([hm for _, _, hm, _ in group])
+            valids = [v for _, _, _, v in group]
+            t_rank, h_rank = score_and_rank_group_cached(
                 params, cfg, graph, rel_reprs_all,
+                jnp.asarray(batches), jnp.asarray(t_masks), jnp.asarray(h_masks),
+            )
+            if pending is not None:
+                collect(pending)
+            pending = (t_rank, h_rank, t_masks, h_masks, valids)
+    else:
+        for s in batch_starts:
+            batch, t_mask, h_mask, valid = submit_batch(trips[s : s + batch_size])
+            t_rank, h_rank = score_and_rank_batch(
+                params, cfg, graph,
                 jnp.asarray(batch), jnp.asarray(t_mask), jnp.asarray(h_mask),
             )
-        else:
-            t_rank, h_rank = score_and_rank_batch(
-                params, cfg, graph, jnp.asarray(batch), jnp.asarray(t_mask), jnp.asarray(h_mask)
-            )
-        t_rank = np.asarray(t_rank)[:valid]
-        h_rank = np.asarray(h_rank)[:valid]
-        num_t_neg = t_mask.sum(axis=-1)[:valid]
-        num_h_neg = h_mask.sum(axis=-1)[:valid]
-        rankings += [t_rank, h_rank]
-        num_negatives += [num_t_neg, num_h_neg]
-        tail_rankings.append(t_rank)
-        num_tail_negs.append(num_t_neg)
+            if pending is not None:
+                collect(pending)
+            pending = (t_rank[None], h_rank[None], t_mask[None], h_mask[None], [valid])
+    if pending is not None:
+        collect(pending)
 
     return (
         np.concatenate(rankings),
