@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 V, E_DIRECT, R_DIRECT = 14541, 272115, 237
-BS, NEG = 8, 32
+BS, NEG = int(os.environ.get("BS", 8)), int(os.environ.get("NEG", 32))
 ITERS = 8
 
 
@@ -63,6 +63,11 @@ def main():
 
     params = to_jax(convert_ultra_checkpoint("/root/reference/ckpts/ultra_3g.pth"))
     cfg = UltraConfig()
+    if os.environ.get("REMAT"):
+        cfg = cfg.replace(
+            relation_model=cfg.relation_model.replace(remat=True),
+            entity_model=cfg.entity_model.replace(remat=True),
+        )
     opt = make_optimizer()
     rng = np.random.default_rng(0)
     index = tasks.GraphIndex.build(ei, et, V, 2 * R_DIRECT)

@@ -305,3 +305,36 @@ def test_v2_feature_slicing_matches_unsliced(rng, monkeypatch):
     np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gr1), np.asarray(gr0), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("sum_op", ["min", "max"])
+def test_v2_minmax_primal_matches_xla(rng, sum_op):
+    """The undifferentiated min/max primal runs the v2 gather+fold kernel
+    (sort_slots=False shared plan); gradients keep the v1 fwd+bwd pair so
+    tie routing compares bit-identical values (see _minmax_vjp)."""
+    from ultra_tpu.ops.rspmm_pallas import rspmm_pallas_minmax
+
+    ei, et, ew, rel, x = make_inputs(rng, v=60, r=7, e=400)
+    ew = (rng.random(ew.shape[0]) > 0.2).astype(np.float32)  # masked edges
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0], pad_to=512)
+    w_pad = np.zeros(graph.num_edges_padded, np.float32)
+    w_pad[: ew.shape[0]] = ew
+    graph = graph.replace(edge_weight=jnp.asarray(w_pad))
+    graph = attach_plans(graph, rb=32, chunk=64)
+    assert graph.plans.v2 is not None and not graph.plans.v2.sorted_slots
+
+    for mul_op in ("mul", "add"):
+        out = rspmm_pallas_minmax(
+            graph.plans, jnp.asarray(rel), jnp.asarray(x), graph.edge_weight,
+            mul_op, sum_op, v,
+        )
+        ref = generalized_rspmm(
+            jnp.asarray(ei), jnp.asarray(et), jnp.asarray(ew),
+            jnp.asarray(rel), jnp.asarray(x), sum=sum_op, mul=mul_op,
+            backend="xla",
+        )
+        o, r_ = np.asarray(out), np.asarray(ref)
+        fin = np.isfinite(r_)
+        assert (np.isfinite(o) == fin).all()
+        np.testing.assert_allclose(o[fin], r_[fin], rtol=2e-3, atol=2e-3)

@@ -51,6 +51,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Widest feature axis the v2 kernels serve. Wider shapes (pretrain bs 64
+# -> F=4096 under remat) measured FASTER on the v1 FLOP-bound kernels than
+# on the sliced gather streams (full-v1 1694 vs v2-fwd-only 2059 vs
+# full-v2 2088 ms/step on-chip) — at that width the materialized streams
+# churn the HBM the remat pass needs. F<=2048 covers the eval and
+# fine-tune shapes where v2 wins 1.5-1.8x.
+V2_MAX_F = 2048
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -829,15 +838,36 @@ def rspmm_pallas_minmax(plans, relation, x, edge_weight, mul: str, sum_op: str,
 def _minmax_vjp(mul, sum_op, num_nodes, prec, plans, relation, x, edge_weight):
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
-    out = rspmm_pallas_minmax_fwd(
-        plans.dst, _flatten(relation), _flatten(x), w_ext,
-        mul=mul, is_min=(sum_op == "min"), out_rows=num_nodes, precision=prec,
-    )
+    # primal (inference) path: the v2 gather+fold min/max kernel when a
+    # shared (sort_slots=False) plan is attached; under differentiation the
+    # fwd rule below keeps the v1 kernel instead, because the min/max
+    # backward routes gradient where (w*m == out) and that equality only
+    # holds bit-exactly against the v1 forward's own matmul sequence.
+    if (plans.v2 is not None and not plans.v2.sorted_slots
+            and int(np.prod(shape[1:])) <= V2_MAX_F):
+        from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_minmax
+
+        out = rspmm_v2_minmax(
+            plans.v2, _flatten(relation), _flatten(x), w_ext,
+            mul=mul, is_min=(sum_op == "min"), out_rows=num_nodes,
+            precision=prec,
+        )
+    else:
+        out = rspmm_pallas_minmax_fwd(
+            plans.dst, _flatten(relation), _flatten(x), w_ext,
+            mul=mul, is_min=(sum_op == "min"), out_rows=num_nodes,
+            precision=prec,
+        )
     return out.reshape((num_nodes,) + shape[1:])
 
 
 def _minmax_vjp_fwd(mul, sum_op, num_nodes, prec, plans, relation, x, edge_weight):
-    out = _minmax_vjp(mul, sum_op, num_nodes, prec, plans, relation, x, edge_weight)
+    shape = x.shape
+    w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
+    out = rspmm_pallas_minmax_fwd(
+        plans.dst, _flatten(relation), _flatten(x), w_ext,
+        mul=mul, is_min=(sum_op == "min"), out_rows=num_nodes, precision=prec,
+    ).reshape((num_nodes,) + shape[1:])
     return out, (plans, relation, x, edge_weight, out)
 
 
@@ -1095,13 +1125,19 @@ def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=N
     if v2 and pad_chunks_to is None and len(live):
         from ultra_tpu.ops.rspmm_pallas_v2 import build_plan_v2
 
+        # sort_slots=False keeps each dst's edges contiguous so the same
+        # plan serves the sum AND min/max kernels; at the default chunk
+        # (1024) slot sorting does not change the table stats anyway (the
+        # dst-signature clustering does the work).
         plan2 = build_plan_v2(
             ei[:, live], et[live], graph.num_nodes, graph.num_relations,
             chunk=v2_chunk, edge_ids=live, dead_slot=graph.num_edges_padded,
+            sort_slots=False,
         )
         plan2s = build_plan_v2(
             ei[::-1][:, live], et[live], graph.num_nodes, graph.num_relations,
             chunk=v2_chunk, edge_ids=live, dead_slot=graph.num_edges_padded,
+            sort_slots=False,
         )
         plans = plans.replace(v2=plan2, v2src=plan2s)
     return graph.replace(plans=plans)
@@ -1119,9 +1155,8 @@ def rspmm_pallas_sum(mul: str, num_nodes: int, precision, plans: GraphPlans,
     applied to forward and both gradient kernels."""
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
-    # v2 slices wide feature axes internally (SLICE_BYTES), so it serves
-    # every batch width when a plan is attached
-    if plans.v2 is not None:
+    f = int(np.prod(shape[1:]))
+    if plans.v2 is not None and f <= V2_MAX_F:
         from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_fwd
 
         out = rspmm_v2_fwd(
@@ -1154,7 +1189,8 @@ def _bwd(mul, num_nodes, precision, res, g):
     rel_or_ones = (
         _flatten(relation) if mul == "mul" else jnp.ones_like(_flatten(relation))
     )
-    if plans.v2src is not None:
+    f = int(np.prod(shape[1:]))
+    if plans.v2src is not None and f <= V2_MAX_F:
         from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_fwd
 
         d_x = rspmm_v2_fwd(
@@ -1172,7 +1208,7 @@ def _bwd(mul, num_nodes, precision, res, g):
             precision=precision,
         ).reshape(shape)
     # d_rel[type] = sum_e w * x[src] * g[dst]  (mul) | sum_e w * g[dst] (add)
-    if plans.v2 is not None and mul == "mul":
+    if plans.v2 is not None and mul == "mul" and f <= V2_MAX_F:
         from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_drel
 
         d_rel = rspmm_v2_drel(

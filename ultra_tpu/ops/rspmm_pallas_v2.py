@@ -90,6 +90,9 @@ class PlanV2:
     k2_blk: jax.Array      # (K2,) int32 — compact-dst block per flush group
     rank: jax.Array        # (V,) int32 — node -> compact row (pads -> n_c_pad)
     present: jax.Array     # (n_c_pad,) int32 — compact row -> node id (pads 0)
+    dst_local: jax.Array   # (K, C) int32 in [0, rb2]; per-EDGE dst rank within
+    #                        its block (rb2 = pad) — the min/max kernel's
+    #                        scan segments; contiguous iff sort_slots=False
     num_chunks: int = struct.field(pytree_node=False)
     chunk: int = struct.field(pytree_node=False)
     tw: int = struct.field(pytree_node=False)
@@ -98,6 +101,7 @@ class PlanV2:
     rb2: int = struct.field(pytree_node=False)
     n_compact_pad: int = struct.field(pytree_node=False)
     e_pad: int = struct.field(pytree_node=False)
+    sorted_slots: bool = struct.field(pytree_node=False, default=False)
 
 
 def _type_signatures(dst: np.ndarray, et: np.ndarray, num_nodes: int):
@@ -127,6 +131,7 @@ def build_plan_v2(
     edge_ids: Optional[np.ndarray] = None,
     dead_slot: Optional[int] = None,
     cluster: bool = True,
+    sort_slots: bool = True,
     table_budget: float = 0.5,  # max table rows as a fraction of E_pad
 ) -> PlanV2:
     """Lay out edges dst-major (clustered order), pad per dst to multiples
@@ -198,7 +203,10 @@ def build_plan_v2(
     # ALIGN group a slot sits in), so sort them by their min live edge type:
     # chunks then see narrow type windows even on uniform relation
     # histograms, keeping the clustered tables at tw<=128.
-    if n_blk:
+    # ``sort_slots=False`` keeps each dst's edges contiguous — required by
+    # the min/max kernel's run-segmented scan (select-last breaks if a dst
+    # splits into multiple runs).
+    if n_blk and sort_slots:
         slot_types = np.where(live, types_p, np.int64(1 << 40)).reshape(n1, FOLD)
         slot_key = slot_types.min(axis=1)          # pads sort last
         slot_blk = np.repeat(np.arange(n_blk), blk_padded // FOLD)
@@ -271,6 +279,8 @@ def build_plan_v2(
         k2_blk=jnp.asarray(k2_blk),
         rank=jnp.asarray(rank_out),
         present=jnp.asarray(present_pad.astype(np.int32)),
+        dst_local=jnp.asarray(np.repeat(k2_local, FOLD).reshape(k, chunk)),
+        sorted_slots=bool(sort_slots),
         num_chunks=k,
         chunk=chunk,
         tw=int(tw),
@@ -425,6 +435,193 @@ def rspmm_v2_fwd(
     out_ext = jnp.concatenate([out_c, jnp.zeros((1, f), out_c.dtype)])
     return jnp.take(out_ext, jnp.minimum(plan.rank[:rows], plan.n_compact_pad),
                     axis=0)
+
+
+_MMFILL = 1e38  # finite min/max identity (matches rspmm_pallas._MINMAX_FILL)
+
+
+def _minmax_kernel_v2(mul_op, is_min, c, g, tw, rb2, prec,
+                      group_ref, blk_ref, tl_ref, w_ref, dstl_ref, xe_ref,
+                      tab_ref, out_ref):
+    """min/max aggregation over the gathered dst-major stream: clustered
+    relation select (MXU) + message (VPU) + run-segmented Hillis-Steele
+    scan over the chunk's edges + select-last one-hot into the resident
+    compact-dst block with min/max combine (the v1 _minmax_kernel's scan,
+    fed by the XLA gather instead of a one-hot gather matmul). Requires a
+    sort_slots=False plan (dst runs contiguous)."""
+    k = pl.program_id(1)
+    fill = _MMFILL if is_min else -_MMFILL
+    row = jax.lax.rem(k, 8)
+    cdt = xe_ref.dtype
+
+    # blk_ref rows are per ALIGN-edge flush group (g chunks per group)
+    @pl.when(
+        (k == 0) | (blk_ref[k // g] != blk_ref[jnp.maximum(k - 1, 0) // g])
+    )
+    def _init():
+        out_ref[:] = jnp.full_like(out_ref, fill)
+
+    tl = tl_ref[pl.ds(row, 1), :][0]
+    w = w_ref[pl.ds(row, 1), :][0]
+    lred = dstl_ref[pl.ds(row, 1), :][0]
+    sel_t = _onehot(tl, tw, cdt)
+    relg = jnp.dot(sel_t, tab_ref[:], preferred_element_type=jnp.float32,
+                   precision=prec)
+    xe = xe_ref[:].astype(jnp.float32)
+    msg = xe * relg if mul_op == "mul" else xe + relg
+    msg = msg * w[:, None]
+    live2 = w[:, None] != 0.0
+    msg = jnp.where(live2, msg, fill)
+    comb = jnp.minimum if is_min else jnp.maximum
+
+    # phase 1 — intra-slot (8 edges, one dst each): 3 scan steps with a
+    # STATIC mask (every row of a slot shares the dst by construction).
+    # A flat log2(c)-step chunk scan measured a wash vs v1 (10 full-width
+    # VPU passes); the slot hierarchy cuts that to 3 full + 7 narrow.
+    idx2 = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+    for shift in (1, 2, 4):
+        rolled = pltpu.roll(msg, shift, 0)
+        msg = comb(
+            msg, jnp.where(jax.lax.rem(idx2, FOLD) >= shift, rolled, fill)
+        )
+    # slot totals sit at each slot's last row; a banded one-select matmul
+    # (sum over exactly one element) extracts them without a sublane
+    # relayout. The same pick applied to the (exact small-int) dst ids
+    # yields slot-level segment ids.
+    nslot = c // FOLD
+    rows_s = jax.lax.broadcasted_iota(jnp.int32, (nslot, c), 0)
+    cols_s = jax.lax.broadcasted_iota(jnp.int32, (nslot, c), 1)
+    pick = (cols_s == rows_s * FOLD + (FOLD - 1)).astype(jnp.float32)
+    slot_msg = jnp.dot(pick, msg, preferred_element_type=jnp.float32,
+                       precision=prec)                       # (nslot, F)
+    # ids must survive exactly (odd ids > 256 misround under the bf16
+    # pass) — force the exact multi-pass mode for this tiny matmul
+    slot_dst2 = jnp.dot(
+        pick, lred[:, None].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)                                      # (nslot, 1)
+
+    # phase 2 — slot-level segmented scan (dst runs are slot-contiguous
+    # with sort_slots=False), then select-last per dst into the block
+    sidx2 = jax.lax.broadcasted_iota(jnp.int32, (nslot, 1), 0)
+    shift = 1
+    while shift < nslot:
+        rolled = pltpu.roll(slot_msg, shift, 0)
+        dst_rolled = pltpu.roll(slot_dst2, shift, 0)
+        same2 = (sidx2 >= shift) & (dst_rolled == slot_dst2)
+        slot_msg = comb(slot_msg, jnp.where(same2, rolled, fill))
+        shift *= 2
+
+    dst_next = pltpu.roll(slot_dst2, nslot - 1, 0)
+    is_last2 = (dst_next != slot_dst2) | (sidx2 == nslot - 1)
+    is_last_f = jnp.where(is_last2, 1.0, 0.0)
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (nslot, rb2), 1)
+    sel = (cols_r == slot_dst2).astype(jnp.float32) * is_last_f
+    cand = jax.lax.dot_general(
+        sel, jnp.where(is_last2, slot_msg, 0.0),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    has = jax.lax.dot_general(
+        sel, jnp.ones((nslot, 1), jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = jnp.where(has > 0, comb(out_ref[:], cand), out_ref[:])
+
+
+def rspmm_v2_minmax(
+    plan: PlanV2,
+    relation: jax.Array,
+    x: jax.Array,
+    edge_weight_ext: jax.Array,
+    *,
+    mul: str = "mul",
+    is_min: bool = False,
+    out_rows: Optional[int] = None,
+    f_block: int = 512,
+    precision=None,
+) -> jax.Array:
+    """min/max-aggregation forward on the v2 gather+fold layout. Rows with
+    no live edges hold +/-inf (the XLA-path convention; callers fold the
+    boundary with min/max). Primal/eval path only — the custom VJP keeps
+    the v1 fwd+bwd pair under differentiation so tie routing compares
+    bit-identical values."""
+    assert not plan.sorted_slots, "min/max needs a sort_slots=False plan"
+    n, f = x.shape
+    rows = out_rows if out_rows is not None else n
+    fill_inf = jnp.inf if is_min else -jnp.inf
+    if plan.num_chunks == 0:
+        return jnp.full((rows, f), fill_inf, jnp.float32)
+    fs = _f_slice_width(plan.e_pad, f)
+    if fs < f:
+        return jnp.concatenate(
+            [
+                rspmm_v2_minmax(
+                    plan, relation[:, s:s + fs], x[:, s:s + fs],
+                    edge_weight_ext, mul=mul, is_min=is_min,
+                    out_rows=out_rows, f_block=f_block, precision=precision,
+                )
+                for s in range(0, f, fs)
+            ],
+            axis=1,
+        )
+    f_blk = min(f_block, f)
+    if f % f_blk:
+        f_blk = next(
+            (d for d in range(f_blk - f_blk % 128, 0, -128) if f % d == 0), f
+        )
+    nf = f // f_blk
+    prec = _prec(precision)
+    stream_dt = (
+        jnp.float32 if (prec is not None or _interpret()) else jnp.bfloat16
+    )
+
+    r_pad = max(_round_up(relation.shape[0], 8), 8)
+    rel_pad = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
+    x_e = jnp.take(x.astype(stream_dt), plan.src_p, axis=0)
+    tabs = jnp.take(rel_pad.astype(stream_dt), plan.table_ids, axis=0)
+    w_p = jnp.take(edge_weight_ext, plan.perm, axis=0)
+
+    k, c = plan.num_chunks, plan.chunk
+    fill = _MMFILL if is_min else -_MMFILL
+
+    out_c = pl.pallas_call(
+        functools.partial(
+            _minmax_kernel_v2, mul, is_min, c, ALIGN // c, plan.tw,
+            plan.rb2, prec
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nf, k),
+            in_specs=[
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),  # type_local
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),  # weights
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),  # dst_local
+                pl.BlockSpec((c, f_blk), lambda j, k, g, b: (k, j)),   # x_e
+                pl.BlockSpec((plan.tw, f_blk), lambda j, k, g, b: (g[k], j)),
+            ],
+            out_specs=pl.BlockSpec(
+                (plan.rb2, f_blk), lambda j, k, g, b: (b[k // (ALIGN // c)], j)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((plan.n_compact_pad, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(plan.group_id, plan.k2_blk, _pad8(plan.type_local),
+      _pad8(w_p.reshape(k, c)), _pad8(plan.dst_local), x_e, tabs)
+
+    out_ext = jnp.concatenate(
+        [out_c, jnp.full((1, f), fill, out_c.dtype)]
+    )
+    out = jnp.take(
+        out_ext, jnp.minimum(plan.rank[:rows], plan.n_compact_pad), axis=0
+    )
+    sign = 1.0 if is_min else -1.0
+    return jnp.where(out == sign * _MMFILL, sign * jnp.inf, out)
 
 
 def _drel_kernel(c, g, tw, rb2, prec,
