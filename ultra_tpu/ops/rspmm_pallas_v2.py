@@ -394,7 +394,12 @@ def rspmm_v2_fwd(
 
     r_pad = max(_round_up(relation.shape[0], 8), 8)
     rel_pad = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
-    x_e = jnp.take(x.astype(stream_dt), plan.src_p, axis=0)       # (E_pad, F)
+    # barrier: materialize the bf16 cast BEFORE the gather so the gather
+    # engine reads 1KB rows, not 2KB f32 rows with a fused cast (measured
+    # ~6% faster, scripts/exp_gather_cast.py)
+    x_e = jnp.take(
+        jax.lax.optimization_barrier(x.astype(stream_dt)), plan.src_p, axis=0
+    )  # (E_pad, F)
     tabs = jnp.take(rel_pad.astype(stream_dt), plan.table_ids, axis=0)
     w_p = jnp.take(edge_weight_ext, plan.perm, axis=0)             # (E_pad,)
 
@@ -580,7 +585,9 @@ def rspmm_v2_minmax(
 
     r_pad = max(_round_up(relation.shape[0], 8), 8)
     rel_pad = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
-    x_e = jnp.take(x.astype(stream_dt), plan.src_p, axis=0)
+    x_e = jnp.take(
+        jax.lax.optimization_barrier(x.astype(stream_dt)), plan.src_p, axis=0
+    )
     tabs = jnp.take(rel_pad.astype(stream_dt), plan.table_ids, axis=0)
     w_p = jnp.take(edge_weight_ext, plan.perm, axis=0)
 
@@ -705,7 +712,9 @@ def rspmm_v2_drel(
         jnp.float32 if (prec is not None or _interpret()) else jnp.bfloat16
     )
 
-    x_e = jnp.take(x.astype(stream_dt), plan.src_p, axis=0)        # (E_pad, F)
+    x_e = jnp.take(
+        jax.lax.optimization_barrier(x.astype(stream_dt)), plan.src_p, axis=0
+    )  # (E_pad, F)
     g_c = jnp.take(grad.astype(stream_dt), plan.present, axis=0)   # (n_c_pad, F)
     w_p = jnp.take(edge_weight_ext, plan.perm, axis=0)
 
