@@ -155,6 +155,7 @@ def main():
         f"vs A100 est {headline/A100_RSPMM_EDGES_PER_SEC:.2f}x | "
         f"speedup over v1 {headline/eps['realistic/v1']:.2f}x")
 
+    extra = {}
     # e2e diagnostic: full Ultra forward (12 GNN layers) with real weights
     try:
         from ultra_tpu.models.nbfnet import UltraConfig, ultra_score_all
@@ -204,6 +205,7 @@ def main():
             float(jnp.sum(fn(jnp.zeros((1,)))))
             fms = slope_ms(f1, fn, jnp.zeros((1,)), 4)
             log(f"ultra fwd (B=8, all-node scores, ultra_3g): {fms:.1f} ms")
+            extra["ultra_fwd_ms"] = round(fms, 1)
     except Exception as exc:  # noqa: BLE001
         log(f"e2e diagnostic skipped: {type(exc).__name__}: {exc}")
 
@@ -218,6 +220,7 @@ def main():
                 "v1_edges_per_sec": round(eps["realistic/v1"], 1),
                 "iters": ITERS,
                 "rounds": ROUNDS,
+                **extra,
                 "plans": all_stats,
             }
         ),
