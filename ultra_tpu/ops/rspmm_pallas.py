@@ -1050,6 +1050,35 @@ def build_sharded_plans(
         p.replace(dst=pad_plan(p.dst, k_dst, dead), src=pad_plan(p.src, k_src, dead))
         for p in per_shard
     ]
+
+    # v2 (gather+fold) plans per shard, padded to common static shapes so
+    # the stack has one leading shard axis (pad groups are masked/zeroed —
+    # see pad_plan_v2). Shards whose type clustering lands on different
+    # table widths rebuild unclustered so ``tw`` matches everywhere.
+    from ultra_tpu.ops import rspmm_pallas_v2 as v2mod
+
+    def build_v2(gids, cluster=True, swap=False):
+        e = ei[::-1] if swap else ei
+        return v2mod.build_plan_v2(
+            e[:, gids], et[gids], graph.num_nodes, graph.num_relations,
+            chunk=1024, edge_ids=gids, dead_slot=dead,
+            cluster=cluster, sort_slots=False,
+        )
+
+    for swap, attr in ((False, "v2"), (True, "v2src")):
+        plans2 = [build_v2(g, swap=swap) for g in groups]
+        if len({p.tw for p in plans2}) > 1:
+            plans2 = [build_v2(g, cluster=False, swap=swap) for g in groups]
+        e_pad_t = max(p.e_pad for p in plans2)
+        ng_t = max(p.n_groups for p in plans2)
+        nc_t = max(p.n_compact_pad for p in plans2)
+        plans2 = [
+            v2mod.pad_plan_v2(p, e_pad_t, ng_t, nc_t, dead) for p in plans2
+        ]
+        per_shard = [
+            gp.replace(**{attr: p2}) for gp, p2 in zip(per_shard, plans2)
+        ]
+
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *per_shard)
     stacked = stacked.replace(num_shards=n_shards)
     return graph.replace(plans=stacked)

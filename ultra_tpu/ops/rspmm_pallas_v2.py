@@ -93,6 +93,9 @@ class PlanV2:
     dst_local: jax.Array   # (K, C) int32 in [0, rb2]; per-EDGE dst rank within
     #                        its block (rb2 = pad) — the min/max kernel's
     #                        scan segments; contiguous iff sort_slots=False
+    tab_valid: jax.Array   # (n_groups * tw,) f32 1/0 — masks table rows the
+    #                        rel-grad kernel never writes (pad groups added
+    #                        by pad_plan_v2 for cross-shard shape matching)
     num_chunks: int = struct.field(pytree_node=False)
     chunk: int = struct.field(pytree_node=False)
     tw: int = struct.field(pytree_node=False)
@@ -280,6 +283,7 @@ def build_plan_v2(
         rank=jnp.asarray(rank_out),
         present=jnp.asarray(present_pad.astype(np.int32)),
         dst_local=jnp.asarray(np.repeat(k2_local, FOLD).reshape(k, chunk)),
+        tab_valid=jnp.ones((n_groups * tw,), jnp.float32),
         sorted_slots=bool(sort_slots),
         num_chunks=k,
         chunk=chunk,
@@ -289,6 +293,81 @@ def build_plan_v2(
         rb2=rb2,
         n_compact_pad=n_c_pad,
         e_pad=e_pad,
+    )
+
+
+def pad_plan_v2(
+    plan: PlanV2,
+    e_pad_target: int,
+    n_groups_target: int,
+    n_c_pad_target: int,
+    dead_slot: int,
+) -> PlanV2:
+    """Pad a PlanV2 so its static shape fields match across edge shards
+    (build_sharded_plans stacks per-shard plans with a leading shard axis,
+    which requires identical array shapes and static fields).
+
+    Appended edges are dead (weight perm -> dead_slot => 0), appended
+    chunks keep the last group/block ids (their flushes add zeros to an
+    already-visited block; their tables are the last valid one), and
+    appended table groups are masked by tab_valid (no chunk writes them)."""
+    assert e_pad_target % ALIGN == 0
+    k_old, c = plan.num_chunks, plan.chunk
+    k_new = e_pad_target // c
+    k2_new = e_pad_target // ALIGN
+    extra_e = e_pad_target - plan.e_pad
+    extra_k = k_new - k_old
+    extra_k2 = k2_new - plan.k2_chunks
+    assert extra_e >= 0 and n_groups_target >= plan.n_groups
+    assert n_c_pad_target >= plan.n_compact_pad
+
+    last_gid = np.int32(plan.n_groups - 1)
+    last_blk = plan.k2_blk[-1] if plan.k2_chunks else jnp.int32(0)
+    n_tab_new = n_groups_target * plan.tw
+    tab_valid = jnp.zeros((n_tab_new,), jnp.float32)
+    tab_valid = tab_valid.at[: plan.tab_valid.shape[0]].set(plan.tab_valid)
+    table_ids = jnp.zeros((n_tab_new,), jnp.int32)
+    table_ids = table_ids.at[: plan.table_ids.shape[0]].set(plan.table_ids)
+
+    # old compact-pad sentinel rows in rank must point at the NEW appended
+    # zero row (old sentinel now lands inside uninitialized pad blocks)
+    rank = jnp.where(
+        plan.rank >= plan.n_compact_pad, n_c_pad_target, plan.rank
+    ).astype(jnp.int32)
+
+    return plan.replace(
+        src_p=jnp.concatenate([plan.src_p, jnp.zeros((extra_e,), jnp.int32)]),
+        perm=jnp.concatenate(
+            [plan.perm, jnp.full((extra_e,), dead_slot, jnp.int32)]
+        ),
+        type_local=jnp.concatenate(
+            [plan.type_local, jnp.zeros((extra_k, c), jnp.int32)]
+        ),
+        group_id=jnp.concatenate(
+            [plan.group_id, jnp.full((extra_k,), last_gid, jnp.int32)]
+        ),
+        table_ids=table_ids,
+        tab_valid=tab_valid,
+        k2_local=jnp.concatenate(
+            [plan.k2_local,
+             jnp.full((extra_k2, ALIGN // FOLD), plan.rb2, jnp.int32)]
+        ),
+        k2_blk=jnp.concatenate(
+            [plan.k2_blk, jnp.full((extra_k2,), last_blk, jnp.int32)]
+        ),
+        rank=rank,
+        present=jnp.concatenate(
+            [plan.present,
+             jnp.zeros((n_c_pad_target - plan.n_compact_pad,), jnp.int32)]
+        ),
+        dst_local=jnp.concatenate(
+            [plan.dst_local, jnp.full((extra_k, c), plan.rb2, jnp.int32)]
+        ),
+        num_chunks=k_new,
+        n_groups=int(n_groups_target),
+        k2_chunks=k2_new,
+        n_compact_pad=int(n_c_pad_target),
+        e_pad=int(e_pad_target),
     )
 
 
@@ -750,7 +829,11 @@ def rspmm_v2_drel(
     )(plan.group_id, plan.k2_blk, tl, w_kc, _pad8(plan.k2_local), x_e, g_c)
 
     # local tables -> global relation rows (a tiny one-hot contraction; the
-    # same type may appear in several groups and sums correctly)
+    # same type may appear in several groups and sums correctly). tab_valid
+    # zeroes rows of pad groups no chunk ever writes (uninitialized memory
+    # after cross-shard plan padding — a where, not a multiply, so garbage
+    # NaNs cannot leak through).
+    out_tab = jnp.where(plan.tab_valid[:, None] > 0, out_tab, 0.0)
     r_pad = max(_round_up(num_rel_rows, 8), 8)
     sel = _onehot(plan.table_ids, r_pad, jnp.float32)   # (n_tab, r_pad)
     out = jax.lax.dot_general(
