@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--layers", type=int, default=6)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--grouped", action="store_true",
+                    help="round-grouped projections (train.grouped_projections)")
     args = ap.parse_args()
 
     import jax
@@ -40,8 +42,8 @@ def main():
     from ultra_tpu.models.nbfnet import NBFNetConfig, UltraConfig
     from ultra_tpu.query import ops
     from ultra_tpu.query.datasets import QueryGraph
-    from ultra_tpu.query.executor import DropoutPlanner, QueryConfig, simulate_symbolic, graphs_for_slots
-    from ultra_tpu.query.trainer import answers_to_mask, make_query_train_step, prepare_query_graph
+    from ultra_tpu.query.executor import (DropoutPlanner, QueryConfig, simulate_symbolic, simulate_symbolic_grouped, projection_schedule, graphs_for_slots)
+    from ultra_tpu.query.trainer import answers_to_mask, make_grouped_query_train_step, make_query_train_step, prepare_query_graph
     from ultra_tpu.data.synthetic import random_kg_triples, with_inverses
     from ultra_tpu.train.loop import init_train_state, init_ultra_params, make_optimizer
 
@@ -81,7 +83,10 @@ def main():
     qcfg = QueryConfig(dropout_ratio=0.25)
     opt = make_optimizer()
     state = init_train_state(params, opt)
-    step_fn = make_query_train_step(cfg, qcfg, opt)
+    if args.grouped:
+        step_fn = make_grouped_query_train_step(cfg, qcfg, opt)
+    else:
+        step_fn = make_query_train_step(cfg, qcfg, opt)
 
     rng = np.random.default_rng(0)
     qs = []
@@ -103,15 +108,26 @@ def main():
 
     for i in range(args.steps):
         t0 = time.perf_counter()
-        plan = simulate_symbolic(
-            kind, operand, host, qcfg, rng, training=True, planner=planner
-        )
-        slots = graphs_for_slots(graph, plan)
-        t_host = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        state, loss = step_fn(
-            state, slots, jnp.asarray(kind), jnp.asarray(operand), jnp.asarray(target)
-        )
+        if args.grouped:
+            round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
+            plan = simulate_symbolic_grouped(
+                kind, operand, round_of, has_proj, arg_slot, n_rounds,
+                host, qcfg, rng, planner,
+            )
+            slots = graphs_for_slots(graph, plan)
+            t_host = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            state, loss = step_fn(state, slots, kind, operand, target)
+        else:
+            plan = simulate_symbolic(
+                kind, operand, host, qcfg, rng, training=True, planner=planner
+            )
+            slots = graphs_for_slots(graph, plan)
+            t_host = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            state, loss = step_fn(
+                state, slots, jnp.asarray(kind), jnp.asarray(operand), jnp.asarray(target)
+            )
         loss = float(loss)
         t_dev = time.perf_counter() - t0
         print(

@@ -267,3 +267,79 @@ def test_per_rank_traversal_dropout_matches_ddp_oracle():
     params_ref = optax.apply_updates(params, upd)
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5)
+
+
+def test_grouped_training_matches_slot_synchronous_with_round_graphs():
+    """execute_grouped with per-round dropout graphs must equal the
+    slot-synchronous executor fed slot graphs mapped slot -> its round's
+    graph (same masks, same op order)."""
+    from ultra_tpu.query.executor import (
+        execute_grouped,
+        projection_schedule,
+        simulate_symbolic_grouped,
+    )
+
+    graph, host, cfg, params, kind, operand = _query_setup()
+    qcfg = QueryConfig(dropout_ratio=0.5)
+    planner = DropoutPlanner(host)
+    round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
+    assert n_rounds == 2
+
+    plan = simulate_symbolic_grouped(
+        kind, operand, round_of, has_proj, arg_slot, n_rounds,
+        host, qcfg, np.random.default_rng(4), planner,
+    )
+    assert len(plan.slot_weights) == n_rounds
+    # dropout genuinely fired in at least one round
+    assert any((w < 1).any() for w in plan.slot_weights if w is not None)
+    round_graphs = graphs_for_slots(graph, plan)
+
+    got = execute_grouped(
+        params, cfg, qcfg, round_graphs, jnp.asarray(kind),
+        jnp.asarray(operand), jnp.asarray(round_of), jnp.asarray(has_proj),
+        jnp.asarray(arg_slot), n_rounds,
+    )
+
+    # slot-synchronous oracle: every projection slot uses its round's graph
+    is_proj = np.asarray(kind) == ops.K_PROJECTION
+    slot_graphs = []
+    for i in range(kind.shape[1]):
+        rounds_here = round_of[:, i][is_proj[:, i]]
+        slot_graphs.append(
+            round_graphs[int(rounds_here[0])] if len(rounds_here) else graph
+        )
+    expect = execute(
+        params, cfg, qcfg, slot_graphs, jnp.asarray(kind), jnp.asarray(operand)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_grouped_training_step_decreases_loss():
+    """make_grouped_query_train_step runs end-to-end and learns."""
+    from ultra_tpu.query.executor import projection_schedule, simulate_symbolic_grouped
+    from ultra_tpu.query.trainer import make_grouped_query_train_step
+    from ultra_tpu.train.loop import init_train_state, make_optimizer
+
+    graph, host, cfg, params, kind, operand = _query_setup()
+    qcfg = QueryConfig(dropout_ratio=0.25)
+    planner = DropoutPlanner(host)
+    rng = np.random.default_rng(0)
+    target = (rng.random((kind.shape[0], graph.num_nodes)) < 0.05).astype(np.float32)
+
+    opt = make_optimizer(lr=5e-3)
+    state = init_train_state(params, opt)
+    step = make_grouped_query_train_step(cfg, qcfg, opt, adversarial_temperature=1.0)
+
+    losses = []
+    for _ in range(4):
+        round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
+        plan = simulate_symbolic_grouped(
+            kind, operand, round_of, has_proj, arg_slot, n_rounds,
+            host, qcfg, rng, planner,
+        )
+        round_graphs = graphs_for_slots(graph, plan)
+        state, loss = step(state, round_graphs, kind, operand, target)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]

@@ -256,7 +256,7 @@ def execute_grouped(
     params,
     ultra_cfg: UltraConfig,
     qcfg: QueryConfig,
-    graph: Graph,
+    graphs: Union[Graph, Sequence[Graph]],
     kind: jax.Array,     # (B, L) int8
     operand: jax.Array,  # (B, L) int32
     round_of: jax.Array,  # (B, L) int32 (projection_schedule)
@@ -266,10 +266,20 @@ def execute_grouped(
     rel_reprs_all=None,
 ):
     """(B, V) logits like :func:`execute`, with projections grouped into
-    ``n_rounds`` batched GNN calls (single shared graph — eval only; the
-    training path keeps per-slot graphs for traversal dropout)."""
+    ``n_rounds`` batched GNN calls.
+
+    ``graphs``: a single shared Graph (eval) or one per ROUND (training —
+    simulate_symbolic_grouped's per-round traversal-dropout masks; the
+    reference applies dropout once per apply_projection round for the
+    whole batch, ultraquery.py:196-203, so per-round graphs are its exact
+    granularity). ``rel_reprs_all`` requires the single shared graph."""
+    if rel_reprs_all is not None:
+        assert not isinstance(graphs, (list, tuple)), (
+            "relation cache requires a single shared graph"
+        )
+    first = graphs[0] if isinstance(graphs, (list, tuple)) else graphs
     b, length = kind.shape
-    v = graph.num_nodes
+    v = first.num_nodes
 
     stack = jnp.zeros((b, qcfg.stack_size, v), jnp.float32)
     sp = jnp.zeros((b,), jnp.int32)
@@ -302,6 +312,7 @@ def execute_grouped(
             stack, sp = stack_push(stack, sp, is_neg, negation(xn))
 
         if r < n_rounds:
+            graph = graphs[r] if isinstance(graphs, (list, tuple)) else graphs
             proj = has_proj[:, r]
             r_index = operand[jnp.arange(b), arg_slot[:, r]]
             h_prob, sp = stack_pop(stack, sp, proj)
@@ -564,6 +575,94 @@ def simulate_symbolic(
             slot_rel_graphs.append(None)
 
     return SymbolicPlan(slot_weights, slot_rel_graphs)
+
+
+def simulate_symbolic_grouped(
+    kind: np.ndarray,
+    operand: np.ndarray,
+    round_of: np.ndarray,   # projection_schedule outputs
+    has_proj: np.ndarray,
+    arg_slot: np.ndarray,
+    n_rounds: int,
+    graph_host: dict,
+    qcfg: QueryConfig,
+    rng: np.random.Generator,
+    planner: DropoutPlanner,
+) -> SymbolicPlan:
+    """Round-grouped twin of :func:`simulate_symbolic`: ONE traversal-dropout
+    mask per projection round (the union of all round-r projecting queries'
+    symbolic states) — exactly the reference's granularity, where
+    apply_projection drops edges once per round for the whole batch
+    (ultraquery.py:196-203). Returns a SymbolicPlan with one entry per
+    ROUND (length n_rounds), for execute_grouped's per-round graphs.
+    Requires the DropoutPlanner fast path."""
+    edge_index = np.asarray(graph_host["edge_index"])
+    edge_type = np.asarray(graph_host["edge_type"])
+    v = graph_host["num_nodes"]
+    num_rel = graph_host["num_relations"]
+    e_pad = graph_host["e_pad"]
+    e = edge_index.shape[1]
+
+    b, length = kind.shape
+    stack = np.zeros((b, qcfg.stack_size, v), dtype=bool)
+    sp = np.zeros(b, dtype=np.int64)
+
+    def push(mask, val):
+        nonlocal stack, sp
+        stack[mask, sp[mask]] = val[mask]
+        sp[mask] += 1
+
+    def pop(mask):
+        nonlocal sp
+        sp[mask] -= 1
+        return stack[np.arange(b), np.clip(sp, 0, qcfg.stack_size - 1)]
+
+    round_weights, round_rel = [], []
+    for r in range(n_rounds + 1):
+        for i in range(length):
+            gate = round_of[:, i] == r
+            k, arg = kind[:, i], operand[:, i]
+            is_operand = gate & (k == ops.K_OPERAND)
+            is_inter = gate & (k == ops.K_INTERSECTION)
+            is_union = gate & (k == ops.K_UNION)
+            is_neg = gate & (k == ops.K_NEGATION)
+            if is_operand.any():
+                onehot = np.zeros((b, v), dtype=bool)
+                onehot[np.arange(b), np.clip(arg, 0, v - 1)] = True
+                push(is_operand, onehot)
+            binary = is_inter | is_union
+            if binary.any():
+                y = pop(binary)
+                x = pop(binary)
+                push(binary, np.where(is_inter[:, None], x & y, x | y))
+            if is_neg.any():
+                push(is_neg, ~pop(is_neg))
+
+        if r < n_rounds:
+            proj = has_proj[:, r]
+            r_index = operand[np.arange(b), arg_slot[:, r]]
+            h_sets = pop(proj).copy()
+            h_sets[~proj] = False
+            live = np.ones(e, dtype=bool)
+            drop = np.zeros(0, dtype=np.int64)
+            if qcfg.dropout_ratio > 0:
+                drop = traversal_dropout_host(
+                    h_sets[proj], r_index[proj], edge_index, edge_type, live,
+                    num_rel, rng, qcfg.dropout_ratio, qcfg.more_dropout,
+                    graph_host.get("inverse_rel_plus_one", False),
+                    matchers=planner.matchers, degrees=planner.degrees,
+                )
+                live[drop] = False
+            t_sets = symbolic_traversal_host(
+                h_sets, r_index, edge_index, edge_type, live
+            )
+            push(proj, t_sets)
+            w = np.zeros(e_pad, dtype=np.float32)
+            w[:e][live] = 1.0
+            round_weights.append(w)
+            round_rel.append(planner.masker.edge_weights(drop))
+
+    return SymbolicPlan(round_weights, round_rel)
 
 
 def graphs_for_slots(base_graph: Graph, plan: SymbolicPlan) -> List[Graph]:

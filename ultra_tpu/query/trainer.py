@@ -35,6 +35,7 @@ from ultra_tpu.query.executor import (
     graphs_for_slots,
     projection_schedule,
     simulate_symbolic,
+    simulate_symbolic_grouped,
 )
 from ultra_tpu import tasks
 from ultra_tpu.train.loop import TrainState, init_train_state, make_optimizer
@@ -147,6 +148,46 @@ def make_query_train_step(
         return TrainState(params, opt_state, state.step + 1), loss
 
     return step
+
+
+def make_grouped_query_train_step(
+    ultra_cfg: UltraConfig,
+    qcfg: QueryConfig,
+    optimizer: optax.GradientTransformation,
+    adversarial_temperature: float = 1.0,
+):
+    """Training step with projections grouped into max-projections-per-query
+    GNN rounds (train.grouped_projections: the reference scheduler's
+    grouping, with ONE traversal-dropout mask per round from
+    simulate_symbolic_grouped — the reference's own dropout granularity,
+    ultraquery.py:196-203). ~2x fewer GNN calls than the per-slot step on
+    mixed batches; jit cache keyed by n_rounds."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n_rounds",))
+    def step(state: TrainState, round_graphs, kind, operand,
+             round_of, has_proj, arg_slot, n_rounds, target):
+        def loss_fn(params):
+            pred = execute_grouped(
+                params, ultra_cfg, qcfg, list(round_graphs), kind, operand,
+                round_of, has_proj, arg_slot, n_rounds,
+            )
+            return query_bce_loss(pred, target, adversarial_temperature)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def run(state, round_graphs, kind, operand, target):
+        round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
+        return step(
+            state, tuple(round_graphs), jnp.asarray(kind), jnp.asarray(operand),
+            jnp.asarray(round_of), jnp.asarray(has_proj),
+            jnp.asarray(arg_slot), n_rounds, jnp.asarray(target),
+        )
+
+    return run
 
 
 def make_sharded_query_train_step(
@@ -447,6 +488,7 @@ def train_queries(
     # reference-DDP compat: per data shard traversal dropout (rank-coupled
     # rngs, run.py:234) instead of the default replicated per-batch masks
     per_rank = bool(task_cfg.get("per_rank_traversal_dropout", False))
+    grouped = False
     n_dev = jax.device_count()
     if bool(train_cfg.get("data_parallel", False)):
         from jax.sharding import Mesh
@@ -466,7 +508,16 @@ def train_queries(
     else:
         assert not per_rank, "per_rank_traversal_dropout requires data_parallel"
         step_factory = None
-        step_fn = make_query_train_step(ultra_cfg, qcfg, optimizer, adv_temp)
+        if bool(train_cfg.get("grouped_projections", False)):
+            # reference-scheduler projection grouping: GNN rounds = max
+            # projections per query, one dropout mask per round
+            step_fn = make_grouped_query_train_step(
+                ultra_cfg, qcfg, optimizer, adv_temp
+            )
+            grouped = True
+        else:
+            step_fn = make_query_train_step(ultra_cfg, qcfg, optimizer, adv_temp)
+            grouped = False
 
     (tr_lo, tr_hi), (va_lo, va_hi), _ = dataset.split_ranges()
     train_idx = np.arange(tr_lo, tr_hi)
@@ -493,6 +544,20 @@ def train_queries(
                 target = answers_to_mask(
                     [dataset.easy_answers[i] for i in take], v
                 ).astype(np.float32)
+                if grouped:
+                    round_of, has_proj, arg_slot, n_rounds = (
+                        projection_schedule(kind)
+                    )
+                    plan = simulate_symbolic_grouped(
+                        kind, operand, round_of, has_proj, arg_slot, n_rounds,
+                        graph_host, qcfg, rng, planner,
+                    )
+                    round_graphs = graphs_for_slots(base_graph, plan)
+                    state, loss = step_fn(
+                        state, round_graphs, kind, operand, target
+                    )
+                    losses.append(loss)
+                    continue
                 if per_rank:
                     shards = np.array_split(np.arange(batch_size), n_dev)
                     plans = [
