@@ -190,6 +190,63 @@ def make_grouped_query_train_step(
     return run
 
 
+def make_sharded_grouped_query_train_step(
+    ultra_cfg: UltraConfig,
+    qcfg: QueryConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    adversarial_temperature: float = 1.0,
+    data_axis: str = "data",
+):
+    """Data-parallel twin of make_grouped_query_train_step: queries shard
+    over the mesh '{data}' axis, the per-round graphs (one dropout mask per
+    round, replicated) are shared by every shard — numerics equal the
+    single-device grouped step on the same global batch."""
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_loss(params, round_graphs, kind, operand,
+                   round_of, has_proj, arg_slot, target, *, n_rounds):
+        pred = execute_grouped(
+            params, ultra_cfg, qcfg, list(round_graphs), kind, operand,
+            round_of, has_proj, arg_slot, n_rounds,
+        )
+        loss = query_bce_loss(pred, target, adversarial_temperature)
+        return jax.lax.pmean(loss, data_axis)
+
+    @functools.partial(jax.jit, static_argnames=("n_rounds",))
+    def step(state: TrainState, round_graphs, kind, operand,
+             round_of, has_proj, arg_slot, n_rounds, target):
+        gspec = jax.tree.map(lambda _: P(), tuple(round_graphs))
+        sharded = shard_map(
+            functools.partial(local_loss, n_rounds=n_rounds),
+            mesh=mesh,
+            in_specs=(P(), gspec, P(data_axis), P(data_axis),
+                      P(data_axis), P(data_axis), P(data_axis), P(data_axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        loss, grads = jax.value_and_grad(
+            lambda p: sharded(p, tuple(round_graphs), kind, operand,
+                              round_of, has_proj, arg_slot, target)
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def run(state, round_graphs, kind, operand, target):
+        round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
+        return step(
+            state, tuple(round_graphs), jnp.asarray(kind), jnp.asarray(operand),
+            jnp.asarray(round_of), jnp.asarray(has_proj),
+            jnp.asarray(arg_slot), n_rounds, jnp.asarray(target),
+        )
+
+    return run
+
+
 def make_sharded_query_train_step(
     ultra_cfg: UltraConfig,
     qcfg: QueryConfig,
@@ -500,6 +557,12 @@ def train_queries(
                 ultra_cfg, qcfg, optimizer, mesh, adv_temp
             )(base_graph)
             step_factory = None
+        elif bool(train_cfg.get("grouped_projections", False)):
+            step_fn = make_sharded_grouped_query_train_step(
+                ultra_cfg, qcfg, optimizer, mesh, adv_temp
+            )
+            step_factory = None
+            grouped = True
         else:
             step_factory = make_sharded_query_train_step(
                 ultra_cfg, qcfg, optimizer, mesh, adv_temp
