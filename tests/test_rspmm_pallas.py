@@ -338,3 +338,36 @@ def test_v2_minmax_primal_matches_xla(rng, sum_op):
         fin = np.isfinite(r_)
         assert (np.isfinite(o) == fin).all()
         np.testing.assert_allclose(o[fin], r_[fin], rtol=2e-3, atol=2e-3)
+
+
+def test_pad_plan_v2_preserves_results(rng):
+    """A cross-shard-padded PlanV2 (extra dead edges, pad table groups,
+    larger compact space) must produce identical forward and rel-grad
+    results to the unpadded plan."""
+    from ultra_tpu.ops.rspmm_pallas_v2 import (
+        ALIGN, build_plan_v2, pad_plan_v2, rspmm_v2_drel, rspmm_v2_fwd,
+    )
+
+    ei, et, ew, rel, x = make_inputs(rng, v=50, r=6, e=250, b=1, d=64)
+    v = x.shape[0]
+    e = ei.shape[1]
+    rel2, x2 = rel.reshape(rel.shape[0], -1), x.reshape(v, -1)
+    w_ext = jnp.concatenate([jnp.asarray(ew), jnp.zeros(1, jnp.float32)])
+    grad = jnp.asarray(rng.normal(size=x2.shape).astype(np.float32))
+
+    plan = build_plan_v2(ei, et, v, rel.shape[0], chunk=64, sort_slots=False,
+                         dead_slot=e)
+    padded = pad_plan_v2(
+        plan, plan.e_pad + 2 * ALIGN, plan.n_groups + 2,
+        plan.n_compact_pad + plan.rb2, dead_slot=e,
+    )
+    for p in (plan, padded):
+        out = rspmm_v2_fwd(p, jnp.asarray(rel2), jnp.asarray(x2), w_ext,
+                           mul="mul", out_rows=v)
+        drel = rspmm_v2_drel(p, jnp.asarray(x2), grad, w_ext, rel.shape[0])
+        if p is plan:
+            out0, drel0 = out, drel
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(drel), np.asarray(drel0),
+                               rtol=1e-5, atol=1e-6)
