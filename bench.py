@@ -108,10 +108,61 @@ def build(kind):
     return graph, stats
 
 
+_PROBE = (
+    "import os;"
+    "os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',"
+    " '/root/.cache/jax-comp-cache');"
+    "import jax, jax.numpy as jnp;"
+    "print(jax.devices());"
+    "print(float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))"
+)
+
+
+def init_backend_with_retry(attempts=None, backoffs=(30, 60), probe_timeout=None):
+    """The TPU tunnel drops two ways: jax.devices() raising 'Unavailable'
+    (BENCH_r02) or HANGING indefinitely (observed this session). An
+    in-process retry cannot recover from the hang, so each attempt probes
+    the backend in a SUBPROCESS under a hard timeout; only after a probe
+    succeeds do we trust in-process init. Raises BackendUnavailable after
+    the last attempt so main() emits structured-error JSON at rc=0."""
+    import subprocess
+
+    if attempts is None:
+        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+    if probe_timeout is None:
+        probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
+    last = "unknown"
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _PROBE],
+                capture_output=True, text=True, timeout=probe_timeout,
+            )
+            if proc.returncode == 0:
+                devs = jax.devices()  # safe now: the probe just succeeded
+                log(f"devices: {devs}")
+                return devs
+            last = f"probe rc={proc.returncode}: {proc.stderr[-300:]}"
+        except subprocess.TimeoutExpired:
+            last = f"probe hung >{probe_timeout}s (tunnel down)"
+        except Exception as exc:  # noqa: BLE001
+            last = f"{type(exc).__name__}: {str(exc)[:300]}"
+        log(f"backend probe attempt {i + 1}/{attempts} failed: {last}")
+        if i + 1 < attempts:
+            wait = backoffs[min(i, len(backoffs) - 1)]
+            log(f"retrying in {wait}s ...")
+            time.sleep(wait)
+    raise BackendUnavailable(last)
+
+
+class BackendUnavailable(RuntimeError):
+    pass
+
+
 def main():
     from ultra_tpu.ops.rspmm_pallas import rspmm_pallas_sum
 
-    log(f"devices: {jax.devices()}")
+    init_backend_with_retry()
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.normal(size=(V, B, D)).astype(np.float32))
     rel = jnp.asarray(rng.normal(size=(2 * R_DIRECT, B, D)).astype(np.float32))
@@ -229,4 +280,32 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001
+        # One structured JSON line at rc=0 so the driver records a
+        # distinguishable outage instead of a crash (VERDICT r2 weak #1).
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        kind = (
+            "tpu_unavailable"
+            if isinstance(exc, BackendUnavailable)
+            or "Unavailable" in str(exc)
+            or "DEADLINE" in str(exc).upper()
+            else "bench_error"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "rspmm_edges_per_sec_chip",
+                    "value": None,
+                    "unit": "edges/s",
+                    "vs_baseline": None,
+                    "error": kind,
+                    "error_detail": f"{type(exc).__name__}: {str(exc)[:400]}",
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(0)

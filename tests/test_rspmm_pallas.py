@@ -371,3 +371,29 @@ def test_pad_plan_v2_preserves_results(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(drel), np.asarray(drel0),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pad_plan_v2_empty_shard():
+    """An all-empty source plan (a shard that received no live edges from
+    np.array_split) must pad to valid in-range group/block ids — group_id
+    -1 would drive an out-of-bounds scalar-prefetched table-block read."""
+    from ultra_tpu.ops.rspmm_pallas_v2 import (
+        ALIGN, build_plan_v2, pad_plan_v2, rspmm_v2_fwd,
+    )
+
+    v, r = 40, 6
+    ei = np.zeros((2, 0), np.int64)
+    et = np.zeros((0,), np.int64)
+    plan = build_plan_v2(ei, et, v, r, chunk=64, sort_slots=False, dead_slot=0)
+    assert plan.num_chunks == 0 and plan.n_groups == 0
+    padded = pad_plan_v2(plan, 2 * ALIGN, 1, plan.n_compact_pad, dead_slot=0)
+    gid = np.asarray(padded.group_id)
+    assert gid.min() >= 0 and gid.max() < padded.n_groups
+    assert np.asarray(padded.k2_blk).min() >= 0
+    rel = jnp.asarray(np.random.default_rng(0).normal(size=(r, 64)),
+                      dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(v, 64)),
+                    dtype=jnp.float32)
+    w_ext = jnp.zeros((1,), jnp.float32)  # dead_slot=0 -> all weights 0
+    out = rspmm_v2_fwd(padded, rel, x, w_ext, mul="mul", out_rows=v)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)

@@ -189,6 +189,14 @@ def _rspmm_bwd(num_nodes, sum_op, mul_op, backend, chunk, res, g):
 
         Returns (grad wrt rel[type[e]], grad wrt x[src[e]], grad wrt w[e])
         of shape (C, ...) / (C, ...) / (C,).
+
+        Backend-contract note (sum aggregation): for weight-0 PADDING slots
+        this XLA path returns the mathematically nonzero d_w = m * g[dst],
+        while the Pallas path maps plan-dead slots to exactly 0 (inv_slot
+        sentinel). Pad-slot weight grads are unused by every shipped
+        consumer (masks multiply them away); a future consumer reading raw
+        pad-slot d_w (e.g. fused edge-importance visualization) must mask
+        by liveness first.
         """
         rel_e = jnp.take(relation, et_c, axis=0)
         x_e = jnp.take(x, ei_c[1], axis=0)

@@ -321,7 +321,11 @@ def pad_plan_v2(
     assert extra_e >= 0 and n_groups_target >= plan.n_groups
     assert n_c_pad_target >= plan.n_compact_pad
 
-    last_gid = np.int32(plan.n_groups - 1)
+    # n_groups can be 0 when a shard received no live edges (np.array_split
+    # in build_sharded_plans): clamp so appended chunks' group_id stays a
+    # valid scalar-prefetched table-block index (their weights are 0, so any
+    # valid table is harmless) instead of -1 wrapping out of bounds.
+    last_gid = np.int32(max(plan.n_groups - 1, 0))
     last_blk = plan.k2_blk[-1] if plan.k2_chunks else jnp.int32(0)
     n_tab_new = n_groups_target * plan.tw
     tab_valid = jnp.zeros((n_tab_new,), jnp.float32)
