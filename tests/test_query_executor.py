@@ -186,6 +186,59 @@ def test_grouped_forward_wrapper():
     )
 
 
+def test_round_bucket_padding_is_numeric_noop():
+    """pad_round_schedule pads deep chains to the next ROUND_BUCKET; pad
+    rounds (has_proj all-False GNN calls) must not change outputs. A 5-hop
+    chain buckets to 6 rounds."""
+    from ultra_tpu.query.executor import (
+        bucket_rounds, execute_grouped, pad_round_schedule, projection_schedule,
+    )
+
+    graph, ei, et, cfg, params = small_setup()
+    rng = np.random.default_rng(9)
+    v, r = graph.num_nodes, graph.num_relations
+    q5 = np.array(
+        [int(rng.integers(0, v))]
+        + [ops.PROJECTION | int(rng.integers(0, r)) for _ in range(5)]
+        + [ops.STOP],
+        dtype=np.int64,
+    )
+    kind, operand = ops.decompose(ops.pad_queries([q5, q5], L))
+    qcfg = QueryConfig(dropout_ratio=0.0)
+
+    round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
+    assert n_rounds == 5 and bucket_rounds(5) == 6
+    raw = execute_grouped(
+        params, cfg, qcfg, graph, jnp.asarray(kind), jnp.asarray(operand),
+        jnp.asarray(round_of), jnp.asarray(has_proj), jnp.asarray(arg_slot),
+        n_rounds,
+    )
+    has_p, arg_p, n_b, graphs_p = pad_round_schedule(
+        has_proj, arg_slot, n_rounds, [graph] * n_rounds
+    )
+    assert n_b == 6 and len(graphs_p) == 6
+    padded = execute_grouped(
+        params, cfg, qcfg, graphs_p, jnp.asarray(kind), jnp.asarray(operand),
+        jnp.asarray(round_of), jnp.asarray(has_p), jnp.asarray(arg_p), n_b,
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded), np.asarray(raw), rtol=1e-6, atol=1e-7
+    )
+    # gradients must also be untouched by pad rounds
+    def loss(p, n, hp, asl, gs):
+        out = execute_grouped(
+            p, cfg, qcfg, gs, jnp.asarray(kind), jnp.asarray(operand),
+            jnp.asarray(round_of), jnp.asarray(hp), jnp.asarray(asl), n,
+        )
+        return jnp.sum(out ** 2)
+
+    g_raw = jax.grad(loss)(params, n_rounds, has_proj, arg_slot, [graph] * n_rounds)
+    g_pad = jax.grad(loss)(params, n_b, has_p, arg_p, graphs_p)
+    for a, b in zip(jax.tree.leaves(g_raw), jax.tree.leaves(g_pad)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_executor_jits():
     graph, ei, et, cfg, params = small_setup()
     rng = np.random.default_rng(1)

@@ -219,6 +219,43 @@ def execute(
 # ---------------------------------------------------------------------------
 
 
+# jit-cache control for the grouped executor: every distinct n_rounds is a
+# separate compiled variant (15-25 min cold on the tunneled TPU for the
+# training step). Standard BetaE query types have at most 3 chained
+# projections, so buckets (1, 2, 3) never pad in practice; deeper/exotic
+# programs round up to the next bucket (a pad round costs one full GNN call
+# whose outputs are mask-discarded) instead of minting a new variant each.
+ROUND_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16)
+
+
+def bucket_rounds(n_rounds: int) -> int:
+    """Smallest ROUND_BUCKETS entry >= n_rounds (n_rounds itself beyond)."""
+    for b in ROUND_BUCKETS:
+        if n_rounds <= b:
+            return b
+    return n_rounds
+
+
+def pad_round_schedule(has_proj, arg_slot, n_rounds: int, round_graphs=None):
+    """Pad a projection_schedule to its round bucket. Pad rounds have
+    has_proj all-False (their GNN call runs but every query's pop/push is
+    masked off — no numeric or gradient effect) and, for training, repeat
+    the last round graph. Returns (has_proj, arg_slot, n_bucket,
+    round_graphs_or_None)."""
+    nb = bucket_rounds(n_rounds) if n_rounds else 0
+    if nb == n_rounds:
+        return has_proj, arg_slot, n_rounds, round_graphs
+    b = has_proj.shape[0]
+    pad = nb - n_rounds
+    has_proj = np.concatenate([np.asarray(has_proj),
+                               np.zeros((b, pad), bool)], axis=1)
+    arg_slot = np.concatenate([np.asarray(arg_slot),
+                               np.zeros((b, pad), np.int32)], axis=1)
+    if round_graphs is not None:
+        round_graphs = list(round_graphs) + [round_graphs[-1]] * pad
+    return has_proj, arg_slot, nb, round_graphs
+
+
 def projection_schedule(kind: np.ndarray):
     """Host-side schedule for :func:`execute_grouped`.
 

@@ -33,6 +33,7 @@ from ultra_tpu.query.executor import (
     execute,
     execute_grouped,
     graphs_for_slots,
+    pad_round_schedule,
     projection_schedule,
     simulate_symbolic,
     simulate_symbolic_grouped,
@@ -42,6 +43,40 @@ from ultra_tpu.train.loop import TrainState, init_train_state, make_optimizer
 from ultra_tpu.utils import ckpt as ckpt_lib
 
 logger = logging.getLogger("ultra_tpu")
+
+
+def _variant_tracker(name: str):
+    """Track distinct jit-cache keys of a grouped query step and log each
+    new variant with its first-call (compile-inclusive) wall time — the
+    cold-compile accounting for mixed pretraining mixtures (each distinct
+    (n_rounds, batch shape, graph shape) mints one XLA program; round
+    bucketing in pad_round_schedule caps the n_rounds dimension)."""
+    seen: set = set()
+
+    def check(n_rounds, kind_shape, graph):
+        key = (
+            n_rounds, tuple(kind_shape),
+            graph.num_nodes, graph.num_edges_padded,
+            None if graph.relation_graph is None
+            else graph.relation_graph.num_edges_padded,
+        )
+        if key in seen:
+            return None
+        seen.add(key)
+        logger.warning(
+            "%s: jit variant %d (n_rounds=%d batch=%s V=%d E_pad=%d) — "
+            "expect a cold compile", name, len(seen), n_rounds,
+            tuple(kind_shape), graph.num_nodes, graph.num_edges_padded,
+        )
+        return time.time()
+
+    def done(t0, n_variants_msg=""):
+        logger.warning(
+            "%s: first step (incl. compile) took %.1fs%s",
+            name, time.time() - t0, n_variants_msg,
+        )
+
+    return check, done
 
 
 def prepare_query_graph(
@@ -161,7 +196,10 @@ def make_grouped_query_train_step(
     grouping, with ONE traversal-dropout mask per round from
     simulate_symbolic_grouped — the reference's own dropout granularity,
     ultraquery.py:196-203). ~2x fewer GNN calls than the per-slot step on
-    mixed batches; jit cache keyed by n_rounds."""
+    mixed batches; the jit cache is keyed by n_rounds, BUCKETED via
+    pad_round_schedule (standard BetaE types chain <= 3 projections so
+    buckets (1,2,3) never pad); each new compiled variant is logged with
+    its first-step wall time."""
     import functools
 
     @functools.partial(jax.jit, static_argnames=("n_rounds",))
@@ -179,13 +217,23 @@ def make_grouped_query_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
+    check_variant, log_compile = _variant_tracker("grouped_query_train_step")
+
     def run(state, round_graphs, kind, operand, target):
         round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
-        return step(
+        has_proj, arg_slot, n_rounds, round_graphs = pad_round_schedule(
+            has_proj, arg_slot, n_rounds, round_graphs
+        )
+        t0 = check_variant(n_rounds, kind.shape, round_graphs[0])
+        out = step(
             state, tuple(round_graphs), jnp.asarray(kind), jnp.asarray(operand),
             jnp.asarray(round_of), jnp.asarray(has_proj),
             jnp.asarray(arg_slot), n_rounds, jnp.asarray(target),
         )
+        if t0 is not None:
+            jax.block_until_ready(out[1])
+            log_compile(t0)
+        return out
 
     return run
 
@@ -236,13 +284,23 @@ def make_sharded_grouped_query_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
+    check_variant, log_compile = _variant_tracker("sharded_grouped_query_train_step")
+
     def run(state, round_graphs, kind, operand, target):
         round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
-        return step(
+        has_proj, arg_slot, n_rounds, round_graphs = pad_round_schedule(
+            has_proj, arg_slot, n_rounds, round_graphs
+        )
+        t0 = check_variant(n_rounds, kind.shape, round_graphs[0])
+        out = step(
             state, tuple(round_graphs), jnp.asarray(kind), jnp.asarray(operand),
             jnp.asarray(round_of), jnp.asarray(has_proj),
             jnp.asarray(arg_slot), n_rounds, jnp.asarray(target),
         )
+        if t0 is not None:
+            jax.block_until_ready(out[1])
+            log_compile(t0)
+        return out
 
     return run
 
@@ -399,7 +457,7 @@ def make_query_forward_grouped(ultra_cfg: UltraConfig, qcfg: QueryConfig):
     max projections per query (3 on BetaE mixes) instead of one per
     program slot (~L-1 on mixed-type batches) — the reference's deferred
     scheduler (ultraquery.py:109-133) for a fixed-shape executor. The jit
-    cache is keyed by n_rounds (at most a handful of values)."""
+    cache is keyed by n_rounds, bucketed via pad_round_schedule."""
     import functools
 
     @functools.partial(jax.jit, static_argnames=("n_rounds",))
@@ -412,6 +470,9 @@ def make_query_forward_grouped(ultra_cfg: UltraConfig, qcfg: QueryConfig):
 
     def fwd(params, graph: Graph, kind, operand, rel_reprs_all=None):
         round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
+        has_proj, arg_slot, n_rounds, _ = pad_round_schedule(
+            has_proj, arg_slot, n_rounds
+        )
         return fwd_jit(
             params, graph, jnp.asarray(kind), jnp.asarray(operand),
             jnp.asarray(round_of), jnp.asarray(has_proj),
