@@ -63,3 +63,74 @@ def test_train_with_plans_single_trace(tmp_path):
         T.prepare_query_graph = orig
     for leaf in jax.tree.leaves(out):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_dropout_training_dispatches_v2(tmp_path, monkeypatch):
+    """VERDICT r2 #4: traversal-dropout CLQA training must run the v2
+    (gather+fold) kernels — the DropoutPlanner weight-mask design keeps the
+    edge set static, so the base graph's v2 plans serve every slot. Count
+    actual v2 forward dispatches during a grouped training step."""
+    import ultra_tpu.ops.rspmm_pallas as rp
+    from ultra_tpu.ops import rspmm_pallas_v2 as v2mod
+    from ultra_tpu.query.executor import (
+        DropoutPlanner, graphs_for_slots, projection_schedule,
+        simulate_symbolic_grouped,
+    )
+    from ultra_tpu.query.trainer import make_grouped_query_train_step
+    from ultra_tpu.train.loop import init_train_state, make_optimizer
+
+    ds = toy_query_dataset()
+    cfg = small_cfg()
+    qcfg = QueryConfig(dropout_ratio=0.5)
+    params = init_ultra_params(cfg, jax.random.key(1))
+    from ultra_tpu.query.trainer import prepare_query_graph
+
+    graph = prepare_query_graph(ds.graphs[0], with_plans=True)
+    assert graph.plans is not None and graph.plans.v2 is not None
+    assert graph.relation_graph.plans.v2 is not None
+
+    qg = ds.graphs[0]
+    host = {
+        "edge_index": qg.edge_index, "edge_type": qg.edge_type,
+        "num_nodes": qg.num_nodes, "num_relations": qg.num_relations,
+        "e_pad": graph.num_edges_padded,
+    }
+    import numpy as _np
+
+    kind, operand = _ops_batch(ds)
+    planner = DropoutPlanner(host)
+    round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
+    plan = simulate_symbolic_grouped(
+        kind, operand, round_of, has_proj, arg_slot, n_rounds,
+        host, qcfg, _np.random.default_rng(0), planner,
+    )
+    round_graphs = graphs_for_slots(graph, plan)
+    assert all(g.plans is not None and g.plans.v2 is not None
+               for g in round_graphs)
+
+    calls = {"v2_fwd": 0}
+    orig_fwd = v2mod.rspmm_v2_fwd
+
+    def counting_fwd(*a, **k):
+        calls["v2_fwd"] += 1
+        return orig_fwd(*a, **k)
+
+    monkeypatch.setattr(v2mod, "rspmm_v2_fwd", counting_fwd)
+
+    target = (_np.random.default_rng(0).random(
+        (kind.shape[0], graph.num_nodes)) < 0.1).astype(_np.float32)
+    opt = make_optimizer(lr=1e-3)
+    step = make_grouped_query_train_step(cfg, qcfg, opt)
+    state, loss = step(init_train_state(params, opt), round_graphs,
+                       kind, operand, target)
+    assert _np.isfinite(float(loss))
+    # every projection round traces v2 forwards (entity + relation graphs,
+    # primal + the src-swapped input-grad dispatch)
+    assert calls["v2_fwd"] >= 2 * n_rounds, calls
+
+
+def _ops_batch(ds):
+    from ultra_tpu.query import ops as qops
+
+    kind, operand = qops.decompose(ds.queries[:4])
+    return kind, operand

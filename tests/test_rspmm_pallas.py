@@ -373,6 +373,78 @@ def test_pad_plan_v2_preserves_results(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("sum_op,mul_op", [("max", "mul"), ("min", "add")])
+def test_minmax_gradients_dispatch_v2(rng, sum_op, mul_op, monkeypatch):
+    """VERDICT r2 #4: min/max VJPs must run the v2 gather+fold kernels when
+    v2 plans are attached (both generations match the oracle, so only a
+    dispatch assertion catches a silent v1 fallback)."""
+    from ultra_tpu.ops import rspmm_pallas_v2 as v2mod
+
+    calls = {"dx": 0, "drel": 0, "fwd": 0}
+    for name, key in (("rspmm_v2_minmax_dx", "dx"),
+                      ("rspmm_v2_minmax_drel", "drel"),
+                      ("rspmm_v2_minmax", "fwd")):
+        orig = getattr(v2mod, name)
+
+        def wrap(*a, __o=orig, __k=key, **kw):
+            calls[__k] += 1
+            return __o(*a, **kw)
+
+        monkeypatch.setattr(v2mod, name, wrap)
+
+    ei, et, ew, rel, x = make_inputs(rng, v=50, r=7, e=180)
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0], pad_to=256)
+    graph = attach_plans(graph, rb=32, chunk=32)
+    assert graph.plans.v2 is not None and graph.plans.v2src is not None
+
+    def loss(rel, x):
+        out = rspmm_from_graph(graph, rel, x, sum=sum_op, mul=mul_op)
+        return jnp.sum(jnp.where(jnp.isfinite(out), jnp.sin(out), 0.0))
+
+    g = jax.grad(loss, argnums=(0, 1))(jnp.asarray(rel), jnp.asarray(x))
+    assert all(np.isfinite(np.asarray(a)).all() for a in g)
+    assert calls["fwd"] >= 1 and calls["dx"] >= 1 and calls["drel"] >= 1, calls
+
+
+def test_sum_transe_relgrad_dispatches_v2(rng, monkeypatch):
+    """Sum-aggregation transe rel-grad runs rspmm_v2_drel_add (no x
+    stream), not the v1 one-hot kernel."""
+    from ultra_tpu.ops import rspmm_pallas_v2 as v2mod
+
+    calls = {"n": 0}
+    orig = v2mod.rspmm_v2_drel_add
+
+    def wrap(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(v2mod, "rspmm_v2_drel_add", wrap)
+
+    ei, et, ew, rel, x = make_inputs(rng, v=50, r=7, e=180)
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0], pad_to=256)
+    graph = attach_plans(graph, rb=32, chunk=32)
+
+    def loss(rel, x):
+        out = rspmm_from_graph(graph, rel, x, sum="add", mul="add")
+        return jnp.sum(jnp.sin(out))
+
+    d_rel, _ = jax.grad(loss, argnums=(0, 1))(jnp.asarray(rel), jnp.asarray(x))
+    assert calls["n"] == 1
+    # parity vs the XLA backend for the same grad
+    def loss_x(rel, x):
+        out = generalized_rspmm(
+            jnp.asarray(ei), jnp.asarray(et), jnp.asarray(ew), rel, x,
+            sum="add", mul="add", backend="xla",
+        )
+        return jnp.sum(jnp.sin(out))
+
+    d_rel_x, _ = jax.grad(loss_x, argnums=(0, 1))(jnp.asarray(rel), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(d_rel), np.asarray(d_rel_x),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_pad_plan_v2_empty_shard():
     """An all-empty source plan (a shard that received no live edges from
     np.array_split) must pad to valid in-range group/block ids — group_id

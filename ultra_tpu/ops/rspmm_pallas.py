@@ -834,17 +834,22 @@ def rspmm_pallas_minmax(plans, relation, x, edge_weight, mul: str, sum_op: str,
                        plans, relation, x, edge_weight)
 
 
+def _minmax_v2_eligible(plans, f: int) -> bool:
+    """The v2 min/max kernels serve both the primal and the VJP when both
+    traversal orders carry sort_slots=False gather+fold plans and the
+    feature axis is inside the empirical width gate."""
+    return (
+        plans.v2 is not None and not plans.v2.sorted_slots
+        and plans.v2src is not None and not plans.v2src.sorted_slots
+        and f <= V2_MAX_F
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _minmax_vjp(mul, sum_op, num_nodes, prec, plans, relation, x, edge_weight):
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
-    # primal (inference) path: the v2 gather+fold min/max kernel when a
-    # shared (sort_slots=False) plan is attached; under differentiation the
-    # fwd rule below keeps the v1 kernel instead, because the min/max
-    # backward routes gradient where (w*m == out) and that equality only
-    # holds bit-exactly against the v1 forward's own matmul sequence.
-    if (plans.v2 is not None and not plans.v2.sorted_slots
-            and int(np.prod(shape[1:])) <= V2_MAX_F):
+    if _minmax_v2_eligible(plans, int(np.prod(shape[1:]))):
         from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_minmax
 
         out = rspmm_v2_minmax(
@@ -862,12 +867,11 @@ def _minmax_vjp(mul, sum_op, num_nodes, prec, plans, relation, x, edge_weight):
 
 
 def _minmax_vjp_fwd(mul, sum_op, num_nodes, prec, plans, relation, x, edge_weight):
-    shape = x.shape
-    w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
-    out = rspmm_pallas_minmax_fwd(
-        plans.dst, _flatten(relation), _flatten(x), w_ext,
-        mul=mul, is_min=(sum_op == "min"), out_rows=num_nodes, precision=prec,
-    ).reshape((num_nodes,) + shape[1:])
+    # the forward under differentiation runs the SAME kernel generation the
+    # backward will route against (w*m == out only holds bit-exactly within
+    # one generation's matmul sequence): v2 primal + v2 backward when
+    # eligible, the v1 pair otherwise.
+    out = _minmax_vjp(mul, sum_op, num_nodes, prec, plans, relation, x, edge_weight)
     return out, (plans, relation, x, edge_weight, out)
 
 
@@ -884,6 +888,30 @@ def _minmax_vjp_bwd(mul, sum_op, num_nodes, prec, res, g):
     sign = 1.0 if sum_op == "min" else -1.0
     out2 = _flatten(out_fwd)
     out2 = jnp.where(jnp.isinf(out2), sign * _MINMAX_FILL, out2)
+
+    if _minmax_v2_eligible(plans, f):
+        from ultra_tpu.ops.rspmm_pallas_v2 import (
+            rspmm_v2_minmax_drel, rspmm_v2_minmax_dx,
+        )
+
+        d_x = rspmm_v2_minmax_dx(
+            plans.v2src, _flatten(relation), g2, out2, _flatten(x), w_ext,
+            mul=mul, out_rows=x.shape[0], precision=prec,
+        ).reshape(x.shape)
+        d_rel = rspmm_v2_minmax_drel(
+            plans.v2, _flatten(x), g2, out2, w_ext, relation.shape[0],
+            _flatten(relation), mul=mul, precision=prec,
+        ).reshape(relation.shape)
+        d_w = None
+        if plans.dst.inv_slot is not None:
+            # per-edge weight grad stays on the v1 kernel (per-slot scalar
+            # output layout); exact under interpret/'highest', and pruned by
+            # XLA in every shipped config (weights are masks, not params)
+            d_w = rspmm_pallas_dw(
+                plans.dst, relation, x, g, edge_weight, mul=mul, out_fwd=out2,
+                precision=prec,
+            )
+        return (None, d_rel.astype(relation.dtype), d_x.astype(x.dtype), d_w)
 
     # d_x on the src-major plan
     p = plans.src
@@ -1237,13 +1265,18 @@ def _bwd(mul, num_nodes, precision, res, g):
             precision=precision,
         ).reshape(shape)
     # d_rel[type] = sum_e w * x[src] * g[dst]  (mul) | sum_e w * g[dst] (add)
-    if plans.v2 is not None and mul == "mul" and f <= V2_MAX_F:
-        from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_drel
+    if plans.v2 is not None and f <= V2_MAX_F:
+        from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_drel, rspmm_v2_drel_add
 
-        d_rel = rspmm_v2_drel(
-            plans.v2, _flatten(x), g2, w_ext, relation.shape[0],
-            precision=precision,
-        ).reshape(relation.shape)
+        if mul == "mul":
+            d_rel = rspmm_v2_drel(
+                plans.v2, _flatten(x), g2, w_ext, relation.shape[0],
+                precision=precision,
+            ).reshape(relation.shape)
+        else:  # transe: no x stream at all (d message / d rel = 1)
+            d_rel = rspmm_v2_drel_add(
+                plans.v2, g2, w_ext, relation.shape[0], precision=precision,
+            ).reshape(relation.shape)
     else:
         d_rel = rspmm_pallas_rel_grad(
             plans.dst, _flatten(x), g2, w_ext, relation.shape[0], mul=mul,

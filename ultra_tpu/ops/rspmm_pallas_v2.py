@@ -714,6 +714,164 @@ def rspmm_v2_minmax(
     return jnp.where(out == sign * _MMFILL, sign * jnp.inf, out)
 
 
+def _expand_block_rows(lred, blk_ref, c, rb2, prec, cdt):
+    """Expand resident compact-block rows to edges: slot rows via a one-hot
+    over the slot ids, then the fold band transposed (same trick as the
+    rel-grad kernel). Row selects accumulate in f32, so values pass through
+    EXACTLY (the resident blocks are pre-cast to the stream dtype outside).
+    ``lred``: (nslot,) slot ids in [0, rb2]; returns (c, F) rows."""
+    nslot = c // FOLD
+    sel_g = _onehot(lred, rb2, cdt)                      # (nslot, rb2)
+    slot_rows = jnp.dot(sel_g, blk_ref[:], preferred_element_type=jnp.float32,
+                        precision=prec).astype(cdt)      # (nslot, F)
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (c, nslot), 0)
+    cols_s = jax.lax.broadcasted_iota(jnp.int32, (c, nslot), 1)
+    expand = (rows_c // FOLD == cols_s).astype(cdt)
+    return jnp.dot(expand, slot_rows, preferred_element_type=jnp.float32,
+                   precision=prec)                        # (c, F) f32
+
+
+def _minmax_route(mul_op, cdt, xe, relg, wcol, out_e):
+    """Tie routing for min/max backward: recompute the message exactly as
+    the v2 forward and compare in the stream dtype. At 'highest'/interpret
+    (cdt f32) this is the exact reference semantics (operator.cuh:62-77,
+    every tying edge routed); at the default bf16 pass both sides truncate
+    identically, so the true winner always routes (v1's asymmetric compare
+    could drop it) at the cost of occasionally routing bf16-collided
+    near-ties too."""
+    m = xe * relg if mul_op == "mul" else xe + relg       # f32, fwd-identical
+    live2 = wcol != 0.0
+    route = ((m * wcol).astype(cdt) == out_e.astype(cdt)) & live2
+    return m, jnp.where(route, 1.0, 0.0)
+
+
+def _minmax_dx_kernel_v2(mul_op, c, g, tw, rb2, prec,
+                         group_ref, blk_ref, tl_ref, w_ref, k2l_ref,
+                         ge_ref, oute_ref, tab_ref, xc_ref,
+                         out_ref, scratch):
+    """min/max input-grad on the SRC-SWAPPED gather+fold layout: per edge
+    d_x[src] += route * w * (rel[t] if mul else 1) * g[dst], summed by the
+    standard fold+flush (sum aggregation — routed grads add). Streams carry
+    g[dst] and out[dst] (the swapped plan's gather side); x[src] comes from
+    the resident compact block (the swapped reduce side — the same rows the
+    output block covers)."""
+    k = pl.program_id(1)
+    row = jax.lax.rem(k, 8)
+    nslot = c // FOLD
+    cdt = ge_ref.dtype
+
+    tl = tl_ref[pl.ds(row, 1), :][0]
+    wcol = w_ref[pl.ds(row, 1), :][0][:, None]            # f32
+    lred = k2l_ref[
+        pl.ds(jax.lax.rem(k // g, 8), 1),
+        pl.ds(jax.lax.rem(k, g) * nslot, nslot),
+    ][0]
+    sel = _onehot(tl, tw, cdt)
+    relg = jnp.dot(sel, tab_ref[:], preferred_element_type=jnp.float32,
+                   precision=prec)                        # (c, F) exact rows
+    xe = _expand_block_rows(lred, xc_ref, c, rb2, prec, cdt)
+    _, route = _minmax_route(mul_op, cdt, xe, relg, wcol,
+                             oute_ref[:].astype(jnp.float32))
+    contrib = route * wcol * ge_ref[:].astype(jnp.float32)
+    if mul_op == "mul":
+        contrib = contrib * relg
+
+    rowsi = jax.lax.broadcasted_iota(jnp.int32, (nslot, c), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nslot, c), 1)
+    fold = (cols // FOLD == rowsi).astype(cdt)
+    slot = jnp.dot(fold, contrib.astype(cdt),
+                   preferred_element_type=jnp.float32, precision=prec)
+    scratch[pl.ds(jax.lax.rem(k, g) * nslot, nslot), :] = slot
+
+    @pl.when(jax.lax.rem(k, g) == g - 1)
+    def _flush():
+        g2 = k // g
+        @pl.when((g2 == 0) | (blk_ref[g2] != blk_ref[jnp.maximum(g2 - 1, 0)]))
+        def _zero():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        k2row = jax.lax.rem(g2, 8)
+        lred2 = k2l_ref[pl.ds(k2row, 1), :][0]
+        s = _onehot(lred2, rb2, jnp.float32)
+        out_ref[:] += jax.lax.dot_general(
+            s, scratch[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+
+def _minmax_drel_kernel_v2(mul_op, c, g, tw, rb2, prec,
+                           group_ref, blk_ref, tl_ref, w_ref, k2l_ref,
+                           xe_ref, tab_ref, gc_ref, outc_ref, out_ref):
+    """min/max relation-grad on the dst-major layout: d_tab[tl_e] +=
+    route * w * (x[src] if mul else 1) * g[dst]; g and out rows expand from
+    the resident compact-dst blocks (no extra HBM gathers)."""
+    k = pl.program_id(1)
+    row = jax.lax.rem(k, 8)
+    nslot = c // FOLD
+    cdt = xe_ref.dtype
+
+    tl = tl_ref[pl.ds(row, 1), :][0]
+    wcol = w_ref[pl.ds(row, 1), :][0][:, None]
+    lred = k2l_ref[
+        pl.ds(jax.lax.rem(k // g, 8), 1),
+        pl.ds(jax.lax.rem(k, g) * nslot, nslot),
+    ][0]
+    sel = _onehot(tl, tw, cdt)
+    relg = jnp.dot(sel, tab_ref[:], preferred_element_type=jnp.float32,
+                   precision=prec)
+    xe = xe_ref[:].astype(jnp.float32)
+    g_e = _expand_block_rows(lred, gc_ref, c, rb2, prec, cdt)
+    out_e = _expand_block_rows(lred, outc_ref, c, rb2, prec, cdt)
+    _, route = _minmax_route(mul_op, cdt, xe, relg, wcol, out_e)
+    contrib = route * wcol * g_e
+    if mul_op == "mul":
+        contrib = contrib * xe
+    sel_t = _onehot(tl, tw, jnp.float32)
+
+    @pl.when((k == 0) | (group_ref[k] != group_ref[jnp.maximum(k - 1, 0)]))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jax.lax.dot_general(
+        sel_t, contrib.astype(cdt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _drel_add_kernel(c, g, tw, rb2, prec,
+                     group_ref, blk_ref, tl_ref, w_ref, k2l_ref, gc_ref,
+                     out_ref):
+    """Sum-aggregation transe relation-grad: d_tab[tl_e] += w_e * g[dst_e]
+    — no x stream at all (the message derivative wrt rel is 1), so the only
+    HBM traffic is metadata + the resident grad blocks."""
+    k = pl.program_id(1)
+    row = jax.lax.rem(k, 8)
+    nslot = c // FOLD
+    cdt = gc_ref.dtype
+
+    tl = tl_ref[pl.ds(row, 1), :][0]
+    wcol = w_ref[pl.ds(row, 1), :][0][:, None]
+    lred = k2l_ref[
+        pl.ds(jax.lax.rem(k // g, 8), 1),
+        pl.ds(jax.lax.rem(k, g) * nslot, nslot),
+    ][0]
+    g_e = _expand_block_rows(lred, gc_ref, c, rb2, prec, cdt)
+    prod = (g_e * wcol).astype(cdt)
+    sel_t = _onehot(tl, tw, jnp.float32)
+
+    @pl.when((k == 0) | (group_ref[k] != group_ref[jnp.maximum(k - 1, 0)]))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jax.lax.dot_general(
+        sel_t, prod,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
 def _drel_kernel(c, g, tw, rb2, prec,
                  group_ref, blk_ref, tl_ref, w_ref, k2l_ref, xe_ref, gc_ref,
                  out_ref):
@@ -837,6 +995,10 @@ def rspmm_v2_drel(
     # zeroes rows of pad groups no chunk ever writes (uninitialized memory
     # after cross-shard plan padding — a where, not a multiply, so garbage
     # NaNs cannot leak through).
+    return _tables_to_rel_rows(plan, out_tab, num_rel_rows)
+
+
+def _tables_to_rel_rows(plan: PlanV2, out_tab: jax.Array, num_rel_rows: int):
     out_tab = jnp.where(plan.tab_valid[:, None] > 0, out_tab, 0.0)
     r_pad = max(_round_up(num_rel_rows, 8), 8)
     sel = _onehot(plan.table_ids, r_pad, jnp.float32)   # (n_tab, r_pad)
@@ -846,3 +1008,265 @@ def rspmm_v2_drel(
         preferred_element_type=jnp.float32,
     )
     return out[:num_rel_rows]
+
+
+def _f_blocking(f: int, f_block: int):
+    f_blk = min(f_block, f)
+    if f % f_blk:
+        f_blk = next(
+            (d for d in range(f_blk - f_blk % 128, 0, -128) if f % d == 0), f
+        )
+    return f_blk, f // f_blk
+
+
+def rspmm_v2_drel_add(
+    plan: PlanV2,
+    grad: jax.Array,          # (V, F) upstream gradient over output nodes
+    edge_weight_ext: jax.Array,
+    num_rel_rows: int,
+    *,
+    f_block: int = 512,
+    precision=None,
+) -> jax.Array:
+    """Sum-aggregation transe relation gradient d_rel[t] = sum_e w_e *
+    grad[dst_e] on the gather+fold layout — replaces the v1 one-hot
+    rel-grad for mul='add' (rspmm.cpp:106-114 relation_grad with
+    d/drel = 1). No edge stream: grad rows expand from the resident
+    compact-dst blocks."""
+    n, f = grad.shape
+    if plan.num_chunks == 0:
+        return jnp.zeros((num_rel_rows, f), jnp.float32)
+    fs = _f_slice_width(plan.e_pad, f)
+    if fs < f:
+        return jnp.concatenate(
+            [
+                rspmm_v2_drel_add(
+                    plan, grad[:, s:s + fs], edge_weight_ext, num_rel_rows,
+                    f_block=f_block, precision=precision,
+                )
+                for s in range(0, f, fs)
+            ],
+            axis=1,
+        )
+    f_blk, nf = _f_blocking(f, f_block)
+    prec = _prec(precision)
+    stream_dt = (
+        jnp.float32 if (prec is not None or _interpret()) else jnp.bfloat16
+    )
+    g_c = jnp.take(grad.astype(stream_dt), plan.present, axis=0)
+    w_p = jnp.take(edge_weight_ext, plan.perm, axis=0)
+
+    k, c = plan.num_chunks, plan.chunk
+    gsz = ALIGN // c
+    out_tab = pl.pallas_call(
+        functools.partial(_drel_add_kernel, c, gsz, plan.tw, plan.rb2, prec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nf, k),
+            in_specs=[
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),    # type_local
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),    # weights
+                pl.BlockSpec(
+                    (8, ALIGN // FOLD),
+                    lambda j, k, g, b: (k // (8 * gsz), 0)),             # k2_local
+                pl.BlockSpec((plan.rb2, f_blk),
+                             lambda j, k, g, b: (b[k // gsz], j)),       # g block
+            ],
+            out_specs=pl.BlockSpec(
+                (plan.tw, f_blk), lambda j, k, g, b: (g[k], j)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((plan.n_groups * plan.tw, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(plan.group_id, plan.k2_blk, _pad8(plan.type_local),
+      _pad8(w_p.reshape(k, c)), _pad8(plan.k2_local), g_c)
+    return _tables_to_rel_rows(plan, out_tab, num_rel_rows)
+
+
+def rspmm_v2_minmax_dx(
+    plan_src: PlanV2,         # the SRC-SWAPPED plan (reduce side = src)
+    relation: jax.Array,      # (R, F)
+    grad: jax.Array,          # (V, F) cotangent by dst
+    out_fwd: jax.Array,       # (V, F) saved v2 forward (finite-fill form)
+    x: jax.Array,             # (V, F) forward input
+    edge_weight_ext: jax.Array,
+    *,
+    mul: str = "mul",
+    out_rows: Optional[int] = None,
+    f_block: int = 512,
+    precision=None,
+) -> jax.Array:
+    """min/max input gradient on the v2 layout: d_x[src] = sum over routed
+    edges of w * (rel[t] if mul else 1) * grad[dst]; routing recomputes the
+    v2 forward's message exactly (operator.cuh:62-77: all tying edges
+    route). Streams carry grad/out by dst; x rows come from the resident
+    compact block (same rows as the output block)."""
+    n, f = x.shape
+    rows = out_rows if out_rows is not None else n
+    if plan_src.num_chunks == 0:
+        return jnp.zeros((rows, f), jnp.float32)
+    fs = _f_slice_width(2 * plan_src.e_pad, f)  # two streams materialize
+    if fs < f:
+        return jnp.concatenate(
+            [
+                rspmm_v2_minmax_dx(
+                    plan_src, relation[:, s:s + fs], grad[:, s:s + fs],
+                    out_fwd[:, s:s + fs], x[:, s:s + fs], edge_weight_ext,
+                    mul=mul, out_rows=out_rows, f_block=f_block,
+                    precision=precision,
+                )
+                for s in range(0, f, fs)
+            ],
+            axis=1,
+        )
+    f_blk, nf = _f_blocking(f, f_block)
+    prec = _prec(precision)
+    stream_dt = (
+        jnp.float32 if (prec is not None or _interpret()) else jnp.bfloat16
+    )
+
+    r_pad = max(_round_up(relation.shape[0], 8), 8)
+    rel_pad = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
+    tabs = jnp.take(rel_pad.astype(stream_dt), plan_src.table_ids, axis=0)
+    g_e = jnp.take(
+        jax.lax.optimization_barrier(grad.astype(stream_dt)),
+        plan_src.src_p, axis=0,
+    )
+    out_e = jnp.take(
+        jax.lax.optimization_barrier(out_fwd.astype(stream_dt)),
+        plan_src.src_p, axis=0,
+    )
+    x_c = jnp.take(x.astype(stream_dt), plan_src.present, axis=0)
+    w_p = jnp.take(edge_weight_ext, plan_src.perm, axis=0)
+
+    k, c = plan_src.num_chunks, plan_src.chunk
+    gsz = ALIGN // c
+    out_c = pl.pallas_call(
+        functools.partial(
+            _minmax_dx_kernel_v2, mul, c, gsz, plan_src.tw, plan_src.rb2, prec
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nf, k),
+            in_specs=[
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),    # type_local
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),    # weights
+                pl.BlockSpec(
+                    (8, ALIGN // FOLD),
+                    lambda j, k, g, b: (k // (8 * gsz), 0)),             # k2_local
+                pl.BlockSpec((c, f_blk), lambda j, k, g, b: (k, j)),     # g_e
+                pl.BlockSpec((c, f_blk), lambda j, k, g, b: (k, j)),     # out_e
+                pl.BlockSpec((plan_src.tw, f_blk),
+                             lambda j, k, g, b: (g[k], j)),              # table
+                pl.BlockSpec((plan_src.rb2, f_blk),
+                             lambda j, k, g, b: (b[k // gsz], j)),       # x block
+            ],
+            out_specs=pl.BlockSpec(
+                (plan_src.rb2, f_blk), lambda j, k, g, b: (b[k // gsz], j)
+            ),
+            scratch_shapes=[pltpu.VMEM((ALIGN // FOLD, f_blk), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((plan_src.n_compact_pad, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(plan_src.group_id, plan_src.k2_blk, _pad8(plan_src.type_local),
+      _pad8(w_p.reshape(k, c)), _pad8(plan_src.k2_local),
+      g_e, out_e, tabs, x_c)
+
+    out_ext = jnp.concatenate([out_c, jnp.zeros((1, f), out_c.dtype)])
+    return jnp.take(
+        out_ext, jnp.minimum(plan_src.rank[:rows], plan_src.n_compact_pad),
+        axis=0,
+    )
+
+
+def rspmm_v2_minmax_drel(
+    plan: PlanV2,             # the dst-major plan
+    x: jax.Array,             # (V, F) forward input
+    grad: jax.Array,          # (V, F) cotangent by dst
+    out_fwd: jax.Array,       # (V, F) saved forward (finite-fill form)
+    edge_weight_ext: jax.Array,
+    num_rel_rows: int,
+    relation: jax.Array,      # (R, F) — needed to recompute the message
+    *,
+    mul: str = "mul",
+    f_block: int = 512,
+    precision=None,
+) -> jax.Array:
+    """min/max relation gradient on the v2 layout: d_rel[t] = sum over
+    routed edges of w * (x[src] if mul else 1) * grad[dst]. The x stream is
+    required even for transe (routing needs the recomputed message); grad
+    and out rows expand from the resident compact-dst blocks."""
+    n, f = x.shape
+    if plan.num_chunks == 0:
+        return jnp.zeros((num_rel_rows, f), jnp.float32)
+    fs = _f_slice_width(plan.e_pad, f)
+    if fs < f:
+        return jnp.concatenate(
+            [
+                rspmm_v2_minmax_drel(
+                    plan, x[:, s:s + fs], grad[:, s:s + fs],
+                    out_fwd[:, s:s + fs], edge_weight_ext, num_rel_rows,
+                    relation[:, s:s + fs], mul=mul, f_block=f_block,
+                    precision=precision,
+                )
+                for s in range(0, f, fs)
+            ],
+            axis=1,
+        )
+    f_blk, nf = _f_blocking(f, f_block)
+    prec = _prec(precision)
+    stream_dt = (
+        jnp.float32 if (prec is not None or _interpret()) else jnp.bfloat16
+    )
+
+    r_pad = max(_round_up(relation.shape[0], 8), 8)
+    rel_pad = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
+    tabs = jnp.take(rel_pad.astype(stream_dt), plan.table_ids, axis=0)
+    x_e = jnp.take(
+        jax.lax.optimization_barrier(x.astype(stream_dt)), plan.src_p, axis=0
+    )
+    g_c = jnp.take(grad.astype(stream_dt), plan.present, axis=0)
+    out_c = jnp.take(out_fwd.astype(stream_dt), plan.present, axis=0)
+    w_p = jnp.take(edge_weight_ext, plan.perm, axis=0)
+
+    k, c = plan.num_chunks, plan.chunk
+    gsz = ALIGN // c
+    out_tab = pl.pallas_call(
+        functools.partial(
+            _minmax_drel_kernel_v2, mul, c, gsz, plan.tw, plan.rb2, prec
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nf, k),
+            in_specs=[
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),    # type_local
+                pl.BlockSpec((8, c), lambda j, k, g, b: (k // 8, 0)),    # weights
+                pl.BlockSpec(
+                    (8, ALIGN // FOLD),
+                    lambda j, k, g, b: (k // (8 * gsz), 0)),             # k2_local
+                pl.BlockSpec((c, f_blk), lambda j, k, g, b: (k, j)),     # x_e
+                pl.BlockSpec((plan.tw, f_blk), lambda j, k, g, b: (g[k], j)),
+                pl.BlockSpec((plan.rb2, f_blk),
+                             lambda j, k, g, b: (b[k // gsz], j)),       # g block
+                pl.BlockSpec((plan.rb2, f_blk),
+                             lambda j, k, g, b: (b[k // gsz], j)),       # out block
+            ],
+            out_specs=pl.BlockSpec(
+                (plan.tw, f_blk), lambda j, k, g, b: (g[k], j)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((plan.n_groups * plan.tw, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(plan.group_id, plan.k2_blk, _pad8(plan.type_local),
+      _pad8(w_p.reshape(k, c)), _pad8(plan.k2_local),
+      x_e, tabs, g_c, out_c)
+    return _tables_to_rel_rows(plan, out_tab, num_rel_rows)
