@@ -56,8 +56,11 @@ from jax.experimental.pallas import tpu as pltpu
 # on the sliced gather streams (full-v1 1694 vs v2-fwd-only 2059 vs
 # full-v2 2088 ms/step on-chip) — at that width the materialized streams
 # churn the HBM the remat pass needs. F<=2048 covers the eval and
-# fine-tune shapes where v2 wins 1.5-1.8x.
-V2_MAX_F = 2048
+# fine-tune shapes where v2 wins 1.5-1.8x. Env override for width-gate
+# sweeps (scripts/exp_pretrain_width.py).
+import os as _os
+
+V2_MAX_F = int(_os.environ.get("ULTRA_V2_MAX_F", "2048"))
 
 
 def _round_up(x: int, m: int) -> int:

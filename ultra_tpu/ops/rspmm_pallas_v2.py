@@ -66,7 +66,10 @@ ALIGN = 1024  # edge-layout block alignment = one flush group (128 slots)
 # Max bytes of (E_pad, F) bf16 gather stream materialized at once; wider
 # feature axes are processed in independent F-slices (the whole pipeline is
 # elementwise along F), so v2 serves any batch width with bounded HBM.
-SLICE_BYTES = 10**9
+# Env override for pretrain-width sweeps (scripts/exp_pretrain_width.py).
+import os as _os
+
+SLICE_BYTES = int(float(_os.environ.get("ULTRA_V2_SLICE_BYTES", "1e9")))
 
 
 def _f_slice_width(e_pad: int, f: int) -> int:
