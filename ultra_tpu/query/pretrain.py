@@ -27,11 +27,14 @@ from ultra_tpu.query.executor import (
     DropoutPlanner,
     QueryConfig,
     graphs_for_slots,
+    projection_schedule,
     simulate_symbolic,
+    simulate_symbolic_grouped,
 )
 from ultra_tpu.query.trainer import (
     answers_to_mask,
     evaluate_queries,
+    make_grouped_query_train_step,
     make_query_train_step,
     prepare_query_graph,
 )
@@ -102,7 +105,15 @@ def pretrain_queries(
 
     optimizer = make_optimizer(lr=float(cfg["optimizer"].get("lr", 5e-4)))
     state = init_train_state(params, optimizer)
-    step_fn = make_query_train_step(ultra_cfg, qcfg, optimizer, adv_temp)
+    # round-grouped projections (the reference scheduler's grouping) are
+    # ~1.5x faster per step AND cap the mixture's jit-variant count at
+    # (#round buckets) x (#member graph shapes) — the slot-synchronous step
+    # mints one variant per distinct slot-graph structure instead
+    grouped = bool(train_cfg.get("grouped_projections", True))
+    if grouped:
+        step_fn = make_grouped_query_train_step(ultra_cfg, qcfg, optimizer, adv_temp)
+    else:
+        step_fn = make_query_train_step(ultra_cfg, qcfg, optimizer, adv_temp)
 
     rng = np.random.default_rng(seed)
     tracker = ckpt_lib.BestModelTracker(workdir)
@@ -139,19 +150,32 @@ def pretrain_queries(
                 while len(take) < batch_size:  # wrap for tiny members
                     take = np.concatenate([take, take[: batch_size - len(take)]])
                 kind, operand = ops.decompose(d.queries[take])
-                plan = simulate_symbolic(
-                    kind, operand, graphs.hosts[gi], qcfg, rng, training=True,
-                    planner=graphs.planner(gi),
-                )
-                slot_graphs = graphs_for_slots(graphs.base_graphs[gi], plan)
                 target = answers_to_mask(
                     [d.easy_answers[i] for i in take],
                     graphs.base_graphs[gi].num_nodes,
                 ).astype(np.float32)
-                state, loss = step_fn(
-                    state, slot_graphs, jnp.asarray(kind), jnp.asarray(operand),
-                    jnp.asarray(target),
-                )
+                if grouped:
+                    round_of, has_proj, arg_slot, n_rounds = (
+                        projection_schedule(kind)
+                    )
+                    plan = simulate_symbolic_grouped(
+                        kind, operand, round_of, has_proj, arg_slot, n_rounds,
+                        graphs.hosts[gi], qcfg, rng, graphs.planner(gi),
+                    )
+                    round_graphs = graphs_for_slots(graphs.base_graphs[gi], plan)
+                    state, loss = step_fn(
+                        state, round_graphs, kind, operand, target
+                    )
+                else:
+                    plan = simulate_symbolic(
+                        kind, operand, graphs.hosts[gi], qcfg, rng,
+                        training=True, planner=graphs.planner(gi),
+                    )
+                    slot_graphs = graphs_for_slots(graphs.base_graphs[gi], plan)
+                    state, loss = step_fn(
+                        state, slot_graphs, jnp.asarray(kind),
+                        jnp.asarray(operand), jnp.asarray(target),
+                    )
                 losses.append(loss)
                 if step % log_interval == 0:
                     logger.warning(
