@@ -445,6 +445,65 @@ def test_sum_transe_relgrad_dispatches_v2(rng, monkeypatch):
                                rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("mul_op", ["mul", "add"])
+def test_w3_forward_and_gradients_match_xla(rng, mul_op):
+    """w3 (windowed in-kernel gather) sum forward + VJP vs the XLA oracle,
+    including runtime weight masking through the plan permutation."""
+    ei, et, ew, rel, x = make_inputs(rng, v=70, r=9, e=320)
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0], pad_to=384)
+    graph = attach_plans(graph, rb=32, chunk=64, w3=True, w3_window=32)
+    assert graph.plans.w3 is not None and graph.plans.w3src is not None
+    from ultra_tpu.ops.rspmm_pallas_w3 import plan_stats
+
+    stats = plan_stats(graph.plans.w3, 320)
+    assert stats["chunks"] * 32 == stats["e_pad"]
+
+    # runtime weight mask flows through the permutation
+    w_masked = np.asarray(graph.edge_weight).copy()
+    w_masked[np.arange(0, 320, 5)] = 0.0
+    graph = graph.replace(edge_weight=jnp.asarray(w_masked))
+
+    def loss_p(rel, x):
+        out = rspmm_from_graph(graph, rel, x, sum="add", mul=mul_op)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_x(rel, x):
+        out = generalized_rspmm(
+            jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w_masked[:320]),
+            rel, x, sum="add", mul=mul_op, backend="xla",
+        )
+        return jnp.sum(jnp.sin(out))
+
+    from ultra_tpu.ops import rspmm_pallas_w3 as w3mod
+
+    calls = {"n": 0}
+    orig = w3mod.rspmm_w3_fwd
+
+    def wrap(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    import ultra_tpu.ops.rspmm_pallas as rp
+
+    old = w3mod.rspmm_w3_fwd
+    w3mod.rspmm_w3_fwd = wrap
+    try:
+        (lp, gp) = jax.value_and_grad(loss_p, argnums=(0, 1))(
+            jnp.asarray(rel), jnp.asarray(x)
+        )
+    finally:
+        w3mod.rspmm_w3_fwd = old
+    (lx, gx) = jax.value_and_grad(loss_x, argnums=(0, 1))(
+        jnp.asarray(rel), jnp.asarray(x)
+    )
+    assert calls["n"] >= 2  # primal + d_x both on w3
+    np.testing.assert_allclose(float(lp), float(lx), rtol=2e-4)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
 def test_pad_plan_v2_empty_shard():
     """An all-empty source plan (a shard that received no live edges from
     np.array_split) must pad to valid in-range group/block ids — group_id

@@ -1021,6 +1021,11 @@ class GraphPlans:
     # min/max keep the v1 kernels
     v2: Optional[object] = None
     v2src: Optional[object] = None
+    # optional w3 (windowed in-kernel gather) plans — rspmm_pallas_w3.py;
+    # preferred over v2 for the sum primal/d_x when present (attach via
+    # attach_plans(w3=True) or ULTRA_W3=1 — probe-gated, see that module)
+    w3: Optional[object] = None
+    w3src: Optional[object] = None
 
     @classmethod
     def build(
@@ -1148,7 +1153,8 @@ def pad_plan(plan: PallasPlan, k_target: int, dead_slot: int) -> PallasPlan:
 
 
 def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=None,
-                 pad_chunks_to=None, v2: bool = True, v2_chunk: int = 1024):
+                 pad_chunks_to=None, v2: bool = True, v2_chunk: int = 1024,
+                 w3: Optional[bool] = None, w3_window: int = 1024):
     """Build GraphPlans from a Graph's live edges and attach them.
 
     The plan permutation indexes the graph's full padded edge-weight vector
@@ -1200,6 +1206,22 @@ def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=N
             sort_slots=False,
         )
         plans = plans.replace(v2=plan2, v2src=plan2s)
+    if w3 is None:
+        import os
+
+        w3 = os.environ.get("ULTRA_W3", "") == "1"
+    if w3 and pad_chunks_to is None and len(live):
+        from ultra_tpu.ops.rspmm_pallas_w3 import build_plan_w3
+
+        plan3 = build_plan_w3(
+            ei[:, live], et[live], graph.num_nodes, graph.num_relations,
+            window=w3_window, edge_ids=live, dead_slot=graph.num_edges_padded,
+        )
+        plan3s = build_plan_w3(
+            ei[::-1][:, live], et[live], graph.num_nodes, graph.num_relations,
+            window=w3_window, edge_ids=live, dead_slot=graph.num_edges_padded,
+        )
+        plans = plans.replace(w3=plan3, w3src=plan3s)
     return graph.replace(plans=plans)
 
 
@@ -1216,7 +1238,14 @@ def rspmm_pallas_sum(mul: str, num_nodes: int, precision, plans: GraphPlans,
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
     f = int(np.prod(shape[1:]))
-    if plans.v2 is not None and f <= V2_MAX_F:
+    if plans.w3 is not None and f <= V2_MAX_F:
+        from ultra_tpu.ops.rspmm_pallas_w3 import rspmm_w3_fwd
+
+        out = rspmm_w3_fwd(
+            plans.w3, _flatten(relation), _flatten(x), w_ext, mul=mul,
+            out_rows=num_nodes, precision=precision,
+        )
+    elif plans.v2 is not None and f <= V2_MAX_F:
         from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_fwd
 
         out = rspmm_v2_fwd(
@@ -1250,7 +1279,14 @@ def _bwd(mul, num_nodes, precision, res, g):
         _flatten(relation) if mul == "mul" else jnp.ones_like(_flatten(relation))
     )
     f = int(np.prod(shape[1:]))
-    if plans.v2src is not None and f <= V2_MAX_F:
+    if plans.w3src is not None and f <= V2_MAX_F:
+        from ultra_tpu.ops.rspmm_pallas_w3 import rspmm_w3_fwd
+
+        d_x = rspmm_w3_fwd(
+            plans.w3src, rel_or_ones, g2, w_ext, mul="mul",
+            out_rows=x.shape[0], precision=precision,
+        ).reshape(shape)
+    elif plans.v2src is not None and f <= V2_MAX_F:
         from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_fwd
 
         d_x = rspmm_v2_fwd(

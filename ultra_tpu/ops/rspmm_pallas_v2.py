@@ -125,6 +125,52 @@ def _type_signatures(dst: np.ndarray, et: np.ndarray, num_nodes: int):
     return sigs
 
 
+def _group_tables(types_c, live_c, tw, r_pad, e_pad, cluster, table_budget):
+    """Greedy run-grouping of chunks under shared TW-row relation tables
+    (chunks in layout order accumulate their live type sets until a group
+    would exceed tw). Falls back to one global full-width table when
+    clustering fails (uniform histograms) or is disabled. Returns
+    (tw, n_groups, group_id (K,), table_ids (n_groups*tw,), type_local)."""
+    k, chunk = types_c.shape
+    groups, tables = [], []
+    cur: set = set()
+    cur_start = 0
+    for ck in range(k):
+        t = set(np.unique(types_c[ck][live_c[ck]]).tolist())
+        if len(cur | t) > tw and cur:
+            tables.append(sorted(cur))
+            groups.append((cur_start, ck))
+            cur, cur_start = set(t), ck
+        else:
+            cur |= t
+    if k:
+        tables.append(sorted(cur))
+        groups.append((cur_start, k))
+
+    n_groups = len(tables)
+    too_wide = any(len(tab) > tw for tab in tables)  # one chunk alone > tw
+    if too_wide or n_groups * tw > table_budget * e_pad or not cluster:
+        # clustering failed (or disabled): one global full-width table
+        tw = r_pad
+        n_groups = 1
+        group_id = np.zeros(k, np.int32)
+        table_ids = np.arange(r_pad, dtype=np.int64)
+        type_local = types_c.astype(np.int32)
+    else:
+        group_id = np.zeros(k, np.int32)
+        table_ids = np.zeros(n_groups * tw, np.int64)
+        type_local = np.zeros((k, chunk), np.int32)
+        for gi, ((s, t), tab) in enumerate(zip(groups, tables)):
+            group_id[s:t] = gi
+            table_ids[gi * tw: gi * tw + len(tab)] = tab
+            tab_arr = np.asarray(tab, dtype=np.int64)
+            for ck in range(s, t):
+                type_local[ck] = np.searchsorted(tab_arr, types_c[ck]).clip(
+                    0, max(len(tab) - 1, 0)
+                )
+    return tw, n_groups, group_id, table_ids, type_local
+
+
 def build_plan_v2(
     edge_index: np.ndarray,  # (2, E) live edges, [dst, src]
     edge_type: np.ndarray,
@@ -234,42 +280,9 @@ def build_plan_v2(
     # --- relation-table grouping -----------------------------------------
     types_c = types_p.reshape(k, chunk)
     live_c = live.reshape(k, chunk)
-    groups, tables = [], []
-    cur: set = set()
-    cur_start = 0
-    for ck in range(k):
-        t = set(np.unique(types_c[ck][live_c[ck]]).tolist())
-        if len(cur | t) > tw and cur:
-            tables.append(sorted(cur))
-            groups.append((cur_start, ck))
-            cur, cur_start = set(t), ck
-        else:
-            cur |= t
-    if k:
-        tables.append(sorted(cur))
-        groups.append((cur_start, k))
-
-    n_groups = len(tables)
-    too_wide = any(len(tab) > tw for tab in tables)  # one chunk alone > tw
-    if too_wide or n_groups * tw > table_budget * e_pad or not cluster:
-        # clustering failed (or disabled): one global full-width table
-        tw = r_pad
-        n_groups = 1
-        group_id = np.zeros(k, np.int32)
-        table_ids = np.arange(r_pad, dtype=np.int64)
-        type_local = types_c.astype(np.int32)
-    else:
-        group_id = np.zeros(k, np.int32)
-        table_ids = np.zeros(n_groups * tw, np.int64)
-        type_local = np.zeros((k, chunk), np.int32)
-        for gi, ((s, t), tab) in enumerate(zip(groups, tables)):
-            group_id[s:t] = gi
-            table_ids[gi * tw: gi * tw + len(tab)] = tab
-            tab_arr = np.asarray(tab, dtype=np.int64)
-            for ck in range(s, t):
-                type_local[ck] = np.searchsorted(tab_arr, types_c[ck]).clip(
-                    0, max(len(tab) - 1, 0)
-                )
+    tw, n_groups, group_id, table_ids, type_local = _group_tables(
+        types_c, live_c, tw, r_pad, e_pad, cluster, table_budget
+    )
 
     n_c_pad = _round_up(max(n_c, 1), rb2)
     rank_out = np.where(rank >= 0, rank, n_c_pad).astype(np.int32)
