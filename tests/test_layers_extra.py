@@ -212,3 +212,37 @@ def test_concat_hidden_rel_nbfnet(graph_setup):
     out = rel_nbfnet_apply(params, cfg, rel_graph, jnp.asarray(np.array([0, 2])))
     assert out.shape == (2, rel_graph.num_nodes, d)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("agg", ["pna", "max"])
+def test_aggregator_gradients_plans_vs_xla(graph_setup, agg):
+    """conv_apply VJP with Pallas plans attached (the on-chip path, now the
+    v2 min/max gradient kernels) == the plan-free XLA path. Covers the PNA
+    composition: 3 routed min/max VJPs + 2 sum VJPs per layer."""
+    from ultra_tpu.ops.rspmm_pallas import attach_plans
+
+    graph, rng, d, b, x, boundary, query = graph_setup
+    in_mult = 13 if agg == "pna" else 2
+    params = make_layer_params(rng, d, graph.num_relations, in_mult=in_mult)
+    cfg = ConvConfig(
+        input_dim=d, output_dim=d, num_relation=graph.num_relations,
+        message_func="distmult", aggregate_func=agg,
+    )
+    graph_p = attach_plans(graph, rb=16, chunk=32)
+    assert graph_p.plans is not None and graph_p.plans.v2 is not None
+
+    def loss(g):
+        def f(p, xx):
+            out = conv_apply(p, cfg, g, xx, boundary, query=query)
+            return jnp.sum(jnp.sin(out))
+
+        return jax.value_and_grad(f, argnums=(0, 1))(params, x)
+
+    (l_p, (gp_params, gp_x)) = loss(graph_p)
+    (l_x, (gx_params, gx_x)) = loss(graph)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp_x), np.asarray(gx_x),
+                               rtol=5e-3, atol=5e-4)
+    for a, c in zip(jax.tree.leaves(gp_params), jax.tree.leaves(gx_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-3, atol=5e-4)

@@ -209,3 +209,36 @@ def test_sharded_pallas_train_step_matches(setup):
     np.testing.assert_allclose(float(loss_sp), float(loss_1), rtol=1e-3)
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=5e-5)
+
+
+@pytest.mark.parametrize("agg", ["pna", "max"])
+def test_sharded_pna_score_matches_single_device(setup, agg):
+    """Edge-sharded scoring with min/max-bearing aggregators: per-shard
+    partials combine with psum/pmax/pmin over the edge axis."""
+    graph, ei, et, index, cfg, params = setup
+    mesh = make_mesh(data=4, edge=2)
+    in_mult = 13 if agg == "pna" else 2
+    dims = (32, 32)
+    cfg2 = UltraConfig(
+        relation_model=NBFNetConfig(input_dim=32, hidden_dims=dims, num_relation=4),
+        entity_model=NBFNetConfig(
+            input_dim=32, hidden_dims=dims, num_relation=1,
+            project_relations=True, aggregate_func=agg,
+        ),
+    )
+    from ultra_tpu.train.loop import init_ultra_params as init_p
+
+    params2 = init_p(cfg2, jax.random.key(2))
+
+    rng = np.random.default_rng(1)
+    b = 8
+    h = rng.integers(0, graph.num_nodes, size=b)
+    t = rng.integers(0, graph.num_nodes, size=b)
+    r = rng.integers(0, graph.num_relations // 2, size=b)
+    batch = jnp.asarray(np.stack([h, t, r], axis=1))
+
+    score_step = make_sharded_score_step(mesh, cfg2, graph)
+    t_pred, h_pred = score_step(params2, graph, batch)
+    t_ref = ultra_score_all(params2, cfg2, graph, batch[:, 0], r_index=batch[:, 2])
+    np.testing.assert_allclose(np.asarray(t_pred), np.asarray(t_ref),
+                               rtol=2e-3, atol=2e-3)
