@@ -504,6 +504,32 @@ def test_w3_forward_and_gradients_match_xla(rng, mul_op):
                                    rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("rel_gather", [True, False])
+def test_w3_rel_modes_match_xla(rng, rel_gather):
+    """Both relation-row mechanisms (same-shape gather from the resident
+    relation window vs clustered one-hot select) reproduce the oracle."""
+    from ultra_tpu.ops.rspmm_pallas_w3 import build_plan_w3, rspmm_w3_fwd
+
+    ei, et, ew, rel, x = make_inputs(rng, v=60, r=9, e=260, b=1, d=64)
+    v = x.shape[0]
+    plan = build_plan_w3(ei, et, v, rel.shape[0], window=32,
+                         rel_gather=rel_gather, dead_slot=260)
+    assert plan.rel_gather == rel_gather
+    w_ext = jnp.concatenate([jnp.asarray(ew), jnp.zeros(1, jnp.float32)])
+    for mul_op in ("mul", "add"):
+        out = rspmm_w3_fwd(
+            plan, jnp.asarray(rel.reshape(9, -1)), jnp.asarray(x.reshape(v, -1)),
+            w_ext, mul=mul_op, out_rows=v,
+        )
+        ref = generalized_rspmm(
+            jnp.asarray(ei), jnp.asarray(et), jnp.asarray(ew),
+            jnp.asarray(rel), jnp.asarray(x), sum="add", mul=mul_op,
+            backend="xla",
+        ).reshape(v, -1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_pad_plan_v2_empty_shard():
     """An all-empty source plan (a shard that received no live edges from
     np.array_split) must pad to valid in-range group/block ids — group_id

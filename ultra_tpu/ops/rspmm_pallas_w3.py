@@ -50,7 +50,13 @@ from ultra_tpu.ops.rspmm_pallas_v2 import _f_blocking, _group_tables
 
 @struct.dataclass
 class PlanW3:
-    """Host-built windowed layout. Chunk size C == window size W."""
+    """Host-built windowed layout. Chunk size C == window size W.
+
+    ``rel_gather=True`` (auto when r_pad <= W): the relation rows are also
+    fetched by a same-shape gather from ONE resident (W, F) relation
+    window — no table clustering, no tw-wide one-hot select (the dominant
+    MXU cost on uniform-histogram graphs); type_local then holds GLOBAL
+    padded relation ids and the table fields are trivial."""
 
     src_local: jax.Array   # (K, W) int32 in [0, W) — src row within window
     dst_local: jax.Array   # (K, W) int32 in [0, rb2]; rb2 = pad sentinel
@@ -71,6 +77,7 @@ class PlanW3:
     n_compact_pad: int = struct.field(pytree_node=False)
     n_win: int = struct.field(pytree_node=False)  # windows covering V
     e_pad: int = struct.field(pytree_node=False)
+    rel_gather: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_plan_w3(
@@ -86,6 +93,7 @@ def build_plan_w3(
     dead_slot: Optional[int] = None,
     cluster: bool = True,
     table_budget: float = 0.5,
+    rel_gather: Optional[bool] = None,  # default: on when r_pad <= window
 ) -> PlanW3:
     """Assign edges to (dst block, src window) cells, pad each cell to
     multiples of W, group chunks under shared relation tables."""
@@ -148,9 +156,20 @@ def build_plan_w3(
 
     types_c = types_p.reshape(k, window)
     live_c = live.reshape(k, window)
-    tw, n_groups, group_id, table_ids, type_local = _group_tables(
-        types_c, live_c, tw, r_pad, e_pad, cluster, table_budget
-    )
+    if rel_gather is None:
+        rel_gather = r_pad <= window
+    assert not (rel_gather and r_pad > window), (r_pad, window)
+    if rel_gather:
+        # relation rows fetched by the same-shape gather from one resident
+        # (W, F) relation window: global ids, trivial table machinery
+        tw, n_groups = window, 1
+        group_id = np.zeros(k, np.int32)
+        table_ids = np.arange(window, dtype=np.int64).clip(0, r_pad - 1)
+        type_local = types_c.astype(np.int32)
+    else:
+        tw, n_groups, group_id, table_ids, type_local = _group_tables(
+            types_c, live_c, tw, r_pad, e_pad, cluster, table_budget
+        )
 
     n_c_pad = _round_up(max(n_c, 1), rb2)
     rank_out = np.where(rank >= 0, rank, n_c_pad).astype(np.int32)
@@ -176,6 +195,7 @@ def build_plan_w3(
         n_compact_pad=n_c_pad,
         n_win=int(n_win),
         e_pad=e_pad,
+        rel_gather=bool(rel_gather),
     )
 
 
@@ -193,13 +213,14 @@ def plan_stats(plan: PlanW3, e_live: int) -> dict:
     }
 
 
-def _w3_kernel(mul_op, c, tw, rb2, prec,
+def _w3_kernel(mul_op, rel_gather, c, tw, rb2, prec,
                group_ref, win_ref_ids, blk_ref,
                tl_ref, w_ref, srcl_ref, dstl_ref, xw_ref, tab_ref,
                out_ref):
     """One chunk of C == W edges: same-shape gather from the resident
-    window + clustered relation select + message + one-hot flush into the
-    resident compact-dst block."""
+    window + relation rows (same-shape gather from the resident relation
+    window, or a clustered tw-wide one-hot select) + message + one-hot
+    flush into the resident compact-dst block."""
     k = pl.program_id(1)
     row = jax.lax.rem(k, 8)
     cdt = xw_ref.dtype
@@ -213,15 +234,21 @@ def _w3_kernel(mul_op, c, tw, rb2, prec,
     srcl = srcl_ref[pl.ds(row, 1), :][0]
     dstl = dstl_ref[pl.ds(row, 1), :][0]
 
-    idx2d = jnp.broadcast_to(srcl[:, None], (c, xw_ref.shape[1]))
+    fw = xw_ref.shape[1]
+    idx2d = jnp.broadcast_to(srcl[:, None], (c, fw))
     xe = jnp.take_along_axis(xw_ref[:], idx2d, axis=0)       # (C, F) gather
 
-    sel = _onehot(tl, tw, cdt)
-    if mul_op == "mul":
-        sel = sel * wcol
-    relg = jnp.dot(sel, tab_ref[:], preferred_element_type=jnp.float32,
-                   precision=prec).astype(cdt)
-    msg = xe * relg if mul_op == "mul" else (xe + relg) * wcol
+    if rel_gather:
+        idxr = jnp.broadcast_to(tl[:, None], (c, fw))
+        relg = jnp.take_along_axis(tab_ref[:], idxr, axis=0)  # (C, F) gather
+        msg = xe * relg * wcol if mul_op == "mul" else (xe + relg) * wcol
+    else:
+        sel = _onehot(tl, tw, cdt)
+        if mul_op == "mul":
+            sel = sel * wcol
+        relg = jnp.dot(sel, tab_ref[:], preferred_element_type=jnp.float32,
+                       precision=prec).astype(cdt)
+        msg = xe * relg if mul_op == "mul" else (xe + relg) * wcol
 
     s = _onehot(dstl, rb2, jnp.float32)
     out_ref[:] += jax.lax.dot_general(
@@ -255,14 +282,23 @@ def rspmm_w3_fwd(
 
     r_pad = max(_round_up(relation.shape[0], 8), 8)
     rel_pad = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
-    tabs = jnp.take(rel_pad.astype(stream_dt), plan.table_ids, axis=0)
+    if plan.rel_gather:
+        # one resident (W, F) relation window (rows >= r_pad are zeros,
+        # never gathered — live type ids are < r_pad)
+        tabs = jnp.pad(
+            rel_pad.astype(stream_dt), ((0, plan.window - r_pad), (0, 0))
+        )
+    else:
+        tabs = jnp.take(rel_pad.astype(stream_dt), plan.table_ids, axis=0)
     v_pad = plan.n_win * plan.window
     x_w = jnp.pad(x.astype(stream_dt), ((0, v_pad - n), (0, 0)))
     w_p = jnp.take(edge_weight_ext, plan.perm.reshape(-1), axis=0)
 
     k, c = plan.num_chunks, plan.window
     out_c = pl.pallas_call(
-        functools.partial(_w3_kernel, mul, c, plan.tw, plan.rb2, prec),
+        functools.partial(
+            _w3_kernel, mul, plan.rel_gather, c, plan.tw, plan.rb2, prec
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nf, k),
