@@ -1221,7 +1221,14 @@ def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=N
             ei[::-1][:, live], et[live], graph.num_nodes, graph.num_relations,
             window=w3_window, edge_ids=live, dead_slot=graph.num_edges_padded,
         )
-        plans = plans.replace(w3=plan3, w3src=plan3s)
+        # cell-padding gate: w3's (dst block x window) cells only pay off
+        # when edges/cell is high (dense or small-V graphs); on large sparse
+        # graphs (120K nodes / 2M edges -> ~54 edges per 1024-slot cell) the
+        # padding dwarfs the stream saving and v2 stays the right kernel
+        max_waste = 2.5
+        if (plan3.e_pad <= max_waste * len(live)
+                and plan3s.e_pad <= max_waste * len(live)):
+            plans = plans.replace(w3=plan3, w3src=plan3s)
     return graph.replace(plans=plans)
 
 
