@@ -242,3 +242,41 @@ def test_sharded_pna_score_matches_single_device(setup, agg):
     t_ref = ultra_score_all(params2, cfg2, graph, batch[:, 0], r_index=batch[:, 2])
     np.testing.assert_allclose(np.asarray(t_pred), np.asarray(t_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_pna_train_step_matches(setup):
+    """Edge-sharded TRAINING with PNA aggregation: routed min/max gradient
+    kernels run per shard inside shard_map, partial grads psum over the
+    mesh — must equal the single-device step."""
+    graph, ei, et, index, cfg, params = setup
+    mesh = make_mesh(data=2, edge=4)
+    dims = (32, 32)
+    cfg2 = UltraConfig(
+        relation_model=NBFNetConfig(input_dim=32, hidden_dims=dims, num_relation=4),
+        entity_model=NBFNetConfig(
+            input_dim=32, hidden_dims=dims, num_relation=1,
+            project_relations=True, aggregate_func="pna",
+        ),
+    )
+    from ultra_tpu.train.loop import init_ultra_params as init_p
+
+    params2 = init_p(cfg2, jax.random.key(4))
+    opt = make_optimizer(lr=1e-3)
+
+    rng = np.random.default_rng(5)
+    n_direct = ei.shape[1] // 2
+    triples = np.stack([ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]], axis=1)
+    batch_triples = triples[rng.choice(len(triples), size=8, replace=False)]
+    batch = tasks.negative_sampling(index, batch_triples, num_negative=4, rng=rng)
+    ew = tasks.easy_edge_weights(index, batch, graph.num_edges_padded)
+
+    step = make_sharded_train_step(mesh, cfg2, opt, graph, num_negative=4)
+    state = init_train_state(params2, opt)
+    state, loss_sp = step(state, graph, jnp.asarray(batch), jnp.asarray(ew))
+
+    single = make_train_step(cfg2, opt, num_negative=4)
+    state1 = init_train_state(params2, opt)
+    state1, loss_1 = single(state1, graph, jnp.asarray(batch), jnp.asarray(ew))
+    np.testing.assert_allclose(float(loss_sp), float(loss_1), rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=5e-5)

@@ -28,6 +28,7 @@ Parameter pytree (see also utils/torch_ckpt.py for the .pth converter):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -72,6 +73,32 @@ class ConvConfig:
 _MESSAGE2MUL = {"transe": "add", "distmult": "mul"}  # layers.py:16-19
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _pextreme(x, axis, is_min):
+    return jax.lax.pmin(x, axis) if is_min else jax.lax.pmax(x, axis)
+
+
+def _pextreme_fwd(x, axis, is_min):
+    y = _pextreme(x, axis, is_min)
+    return y, (x, y)
+
+
+def _pextreme_bwd(axis, is_min, res, g):
+    # jax has no differentiation rule for pmax/pmin; route the cotangent to
+    # the shard(s) whose partial achieves the combined extreme (ties: all —
+    # composing with the per-shard kernel routing (w*m == partial) this
+    # reproduces the reference's every-tying-edge semantics,
+    # operator.cuh:62-77, across edge shards). The combined value is used
+    # on EVERY shard (replicated downstream), so each shard's cotangent is
+    # only its own contribution — accumulate with a psum before routing
+    # (the same reason psum's own transpose is a psum).
+    x, y = res
+    return (jnp.where(x == y, jax.lax.psum(g, axis), 0.0),)
+
+
+_pextreme.defvjp(_pextreme_fwd, _pextreme_bwd)
+
+
 def _combine(x, axis, kind="sum"):
     """Combine per-edge-shard partial aggregates across the edge axis."""
     if axis is None:
@@ -79,9 +106,9 @@ def _combine(x, axis, kind="sum"):
     if kind == "sum":
         return jax.lax.psum(x, axis)
     if kind == "max":
-        return jax.lax.pmax(x, axis)
+        return _pextreme(x, axis, False)
     if kind == "min":
-        return jax.lax.pmin(x, axis)
+        return _pextreme(x, axis, True)
     raise ValueError(kind)
 
 
