@@ -38,7 +38,9 @@ def main():
         multihost.initialize(addr, int(nproc), int(pid))
 
     logging.basicConfig(level=logging.WARNING, format="%(asctime)s %(message)s")
-    workdir = os.path.join(
+    # ULTRA_WORKDIR pins the working directory across restarts (used by
+    # scripts/supervise.py so crash checkpoints stay resumable)
+    workdir = os.environ.get("ULTRA_WORKDIR") or os.path.join(
         os.path.expanduser(cfg.get("output_dir", "./output")),
         time.strftime("%Y-%m-%d-%H-%M-%S"),
     )

@@ -102,3 +102,61 @@ def test_resume_from_checkpoint(toy_registered, tmp_path):
     cfg["resume_from"] = os.path.join(w1, sorted(ckpts)[-1])
     results = runner.run_link_prediction(cfg, str(tmp_path / "w2"), seed=1, with_plans=False)
     assert 0.0 < results["test"]["mrr"] <= 1.0
+
+
+def test_env_resume_override(toy_registered, tmp_path, monkeypatch):
+    """ULTRA_RESUME_FROM (the supervisor's restart hook) resumes the train
+    state when the crash checkpoint exists and is ignored when absent."""
+    cfg = {
+        "dataset": {"class": "ToyRun", "root": toy_registered},
+        "model": small_model_cfg(),
+        "task": {"name": "TransductiveInference", "num_negative": 4,
+                 "strict_negative": True, "adversarial_temperature": 1,
+                 "metric": ["mrr"]},
+        "optimizer": {"lr": 1e-3},
+        "train": {"batch_size": 4, "num_epoch": 1, "batch_per_epoch": 3,
+                  "checkpoint_interval_steps": 2},
+    }
+    w1 = str(tmp_path / "w1")
+    monkeypatch.setenv("ULTRA_RESUME_FROM", os.path.join(w1, "model_latest"))
+    # first run: checkpoint doesn't exist yet -> fresh start, writes it
+    runner.run_link_prediction(cfg, w1, seed=0, with_plans=False)
+    assert os.path.exists(os.path.join(w1, "model_latest"))
+    # second run: resumes from it (optimizer state round-trips)
+    results = runner.run_link_prediction(cfg, w1, seed=1, with_plans=False)
+    assert 0.0 < results["test"]["mrr"] <= 1.0
+
+
+def test_supervise_restart_and_resume(tmp_path):
+    """scripts/supervise.py restarts a crashing child, injects
+    ULTRA_RESUME_FROM once the crash checkpoint exists, and propagates the
+    final exit code."""
+    import subprocess
+    import sys as _sys
+
+    work = tmp_path / "w"
+    child = tmp_path / "child.py"
+    child.write_text(
+        """
+import os, sys
+work = os.environ["ULTRA_WORKDIR"]
+marker = os.path.join(work, "ran_once")
+if not os.path.exists(marker):
+    open(marker, "w").write("1")
+    os.makedirs(os.path.join(work, "model_latest"), exist_ok=True)
+    sys.exit(1)  # simulated crash after writing the crash checkpoint
+assert os.environ.get("ULTRA_RESUME_FROM", "").endswith("model_latest"), \
+    os.environ.get("ULTRA_RESUME_FROM")
+print("resumed ok")
+"""
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "supervise.py"),
+         "--workdir", str(work), "--max-restarts", "2", "--no-probe",
+         "--", _sys.executable, str(child)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "resumed ok" in proc.stdout
+    assert "restart 1: resuming from" in proc.stderr

@@ -160,6 +160,12 @@ def train_and_validate(
     optimizer = make_optimizer(lr=float(cfg["optimizer"].get("lr", 5e-4)))
     state = init_train_state(params, optimizer)
     resume_from = cfg.get("resume_from")
+    if not resume_from:
+        # supervisor override (scripts/supervise.py): resume only when the
+        # crash checkpoint actually exists (first launch has none)
+        env_resume = os.environ.get("ULTRA_RESUME_FROM")
+        if env_resume and os.path.exists(env_resume):
+            resume_from = env_resume
     if resume_from:
         # full optimizer-state resume of an interrupted run — the reference
         # only reloads model weights (SURVEY.md §5 checkpoint/resume gap)
