@@ -96,19 +96,24 @@ def main():
 
     g_v1 = graph.replace(plans=graph.plans.replace(v2=None, v2src=None))
     variants = [
-        ("v1", g_v1, None, None),
-        ("v2 slices~819 (1e9)", graph, 1e9, 4096),
-        ("v2 slices=2048 (2.6e9)", graph, 2.6e9, 4096),
-        ("v2 unsliced (7e9)", graph, 7e9, 4096),
+        ("v1", g_v1, None, None, 1),
+        ("v2 slices~819 (1e9)", graph, 1e9, 4096, 1),
+        ("v2 slices=2048 (2.6e9)", graph, 2.6e9, 4096, 1),
+        ("v2 unsliced (7e9)", graph, 7e9, 4096, 1),
+        # grad accumulation: micro-batches at F<=2048 where v2 wins AND
+        # remat traffic halves/quarters (numerics == full batch, tested)
+        ("v2 grad_accum=2 (F=2048)", graph, 1e9, 2048, 2),
+        ("v2 grad_accum=4 (F=1024)", graph, 1e9, 2048, 4),
+        ("v1 grad_accum=2", g_v1, None, None, 2),
     ]
-    for name, g, slice_bytes, max_f in variants:
+    for name, g, slice_bytes, max_f, accum in variants:
         if slice_bytes is not None:
             v2mod.SLICE_BYTES = int(slice_bytes)
             rp.V2_MAX_F = int(max_f)
         else:
             rp.V2_MAX_F = 2048  # v1 fallback regardless
         try:
-            step = make_train_step(cfg, opt, num_negative=NEG)
+            step = make_train_step(cfg, opt, num_negative=NEG, grad_accum=accum)
             state = init_train_state(params, opt)
             t0 = time.perf_counter()
             state, loss = step(state, g, batch, ew)

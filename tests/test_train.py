@@ -157,3 +157,44 @@ def test_cached_relation_eval_matches(training_setup):
                   metrics=("mrr", "hits@3"), cache_relations=True)
     np.testing.assert_allclose(m1["mrr"], m2["mrr"], rtol=1e-5)
     np.testing.assert_allclose(m1["hits@3"], m2["hits@3"], rtol=1e-5)
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum micro-stepping == the full-batch step exactly (the loss
+    is a mean over batch rows; the easy-edge mask covers the whole batch in
+    both cases) — the pretrain-width lever (bs 64 as 2x bs 32)."""
+    from ultra_tpu import tasks
+    from ultra_tpu.data.synthetic import synthetic_graph
+    from ultra_tpu.models.nbfnet import NBFNetConfig, UltraConfig
+    from ultra_tpu.train.loop import (
+        init_train_state, init_ultra_params, make_optimizer, make_train_step,
+    )
+
+    graph, ei, et = synthetic_graph(num_nodes=30, num_direct_rel=4,
+                                    num_triples=150, seed=2)
+    index = tasks.GraphIndex.build(ei, et, graph.num_nodes, graph.num_relations)
+    dims = (16, 16)
+    cfg = UltraConfig(
+        relation_model=NBFNetConfig(input_dim=16, hidden_dims=dims, num_relation=4),
+        entity_model=NBFNetConfig(input_dim=16, hidden_dims=dims, num_relation=1,
+                                  project_relations=True),
+    )
+    params = init_ultra_params(cfg, jax.random.key(0))
+    opt = make_optimizer(lr=1e-3)
+    rng = np.random.default_rng(0)
+    n_direct = ei.shape[1] // 2
+    triples = np.stack([ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]], axis=1)
+    rows = triples[rng.choice(len(triples), size=8, replace=False)]
+    batch = tasks.negative_sampling(index, rows, num_negative=4, rng=rng)
+    ew = tasks.easy_edge_weights(index, batch, graph.num_edges_padded)
+    batch, ew = jnp.asarray(batch), jnp.asarray(ew)
+
+    step1 = make_train_step(cfg, opt, num_negative=4)
+    s1, l1 = step1(init_train_state(params, opt), graph, batch, ew)
+    step2 = make_train_step(cfg, opt, num_negative=4, grad_accum=2)
+    s2, l2 = step2(init_train_state(params, opt), graph, batch, ew)
+
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -58,11 +58,22 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     adversarial_temperature: float = 1.0,
     num_negative: int = 256,
+    grad_accum: int = 1,
 ):
     """Returns jitted (state, graph, batch, edge_weight) -> (state, loss).
 
     ``edge_weight`` is the per-batch easy-edge mask from
     tasks.easy_edge_weights; pass graph.edge_weight for no dropout.
+
+    ``grad_accum`` > 1 splits the batch into that many sequential
+    micro-batches (lax.scan) and averages gradients before one optimizer
+    update — numerically the full-batch step (the loss is a mean over
+    batch rows, and the easy-edge mask already covers the whole batch, so
+    micro-stepping doesn't change which edges are masked). The point on
+    TPU: the rspmm feature axis is batch x dim, so pretrain-width batches
+    (bs 64 -> F=4096) can run as 2-4 micro-steps on the F<=2048 shapes
+    where the v2 kernel wins, while also dividing peak activation HBM by
+    the same factor (remat traffic shrinks with it).
     """
 
     def loss_fn(params, graph: Graph, batch):
@@ -72,7 +83,22 @@ def make_train_step(
     @jax.jit
     def train_step(state: TrainState, graph: Graph, batch, edge_weight):
         graph = graph.replace(edge_weight=edge_weight)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, graph, batch)
+        if grad_accum == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, graph, batch)
+        else:
+            b = batch.shape[0]
+            assert b % grad_accum == 0, (b, grad_accum)
+            micro = batch.reshape((grad_accum, b // grad_accum) + batch.shape[1:])
+
+            def body(carry, mb):
+                loss_sum, acc = carry
+                l, g = jax.value_and_grad(loss_fn)(state.params, graph, mb)
+                return (loss_sum + l, jax.tree.map(jnp.add, acc, g)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (loss_sum, grads), _ = jax.lax.scan(body, (0.0, zeros), micro)
+            loss = loss_sum / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

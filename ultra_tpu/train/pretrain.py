@@ -84,7 +84,9 @@ def pretrain(
     optimizer = make_optimizer(lr=float(cfg["optimizer"].get("lr", 5e-4)))
     state = init_train_state(params, optimizer)
     step_fn = make_train_step(
-        ultra_cfg, optimizer, adversarial_temperature=adv_temp, num_negative=num_negative
+        ultra_cfg, optimizer, adversarial_temperature=adv_temp,
+        num_negative=num_negative,
+        grad_accum=int(train_cfg.get("grad_accum", 1)),
     )
 
     rng = np.random.default_rng(seed)

@@ -179,7 +179,9 @@ def train_and_validate(
         )
         logger.warning("resumed train state from %s", resume_from)
     step_fn = make_train_step(
-        ultra_cfg, optimizer, adversarial_temperature=adv_temp, num_negative=num_negative
+        ultra_cfg, optimizer, adversarial_temperature=adv_temp,
+        num_negative=num_negative,
+        grad_accum=int(train_cfg.get("grad_accum", 1)),
     )
 
     train_graph = graphs["train"]
