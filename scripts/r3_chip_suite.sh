@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-3 on-chip measurement suite — run the moment the TPU tunnel is back.
+# One TPU process at a time (device lock); each step under timeout with logs.
+set -u
+OUT=${1:-output/r3_chip}
+mkdir -p "$OUT"
+cd /root/repo
+
+run() {  # name timeout cmd...
+  local name=$1 to=$2; shift 2
+  echo "=== $name  $(date +%H:%M:%S)" | tee -a "$OUT/suite.log"
+  timeout "$to" "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
+  local rc=$?
+  echo "    rc=$rc" | tee -a "$OUT/suite.log"
+  tail -25 "$OUT/$name.err" >> "$OUT/suite.log"
+}
+
+# 0. device identity (device_kind decides SparseCore availability)
+run device 300 python -c "
+import os; os.environ.setdefault('JAX_COMPILATION_CACHE_DIR','/root/.cache/jax-comp-cache')
+import jax; d=jax.devices()[0]
+print('device_kind:', d.device_kind, 'platform:', d.platform)
+import jax.numpy as jnp; print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"
+
+# 1. the gather probes (decide w3's fate + record the DMA issue rate)
+run dma_gather 1800 python scripts/exp_dma_gather.py
+
+# 2. w3 vs v2 on-chip parity + timing at the bench shape (only meaningful
+#    if probe B/D lowered; harmless failure otherwise)
+run w3_bench 3000 env ULTRA_W3=1 python bench.py
+
+# 3. v2 min/max gradient kernels: PNA train-step A/B
+run pna_train 3000 python scripts/exp_pna_train.py
+
+# 4. pretrain width sweep (v1 vs v2 slicings vs grad accumulation)
+run pretrain_width 4800 python scripts/exp_pretrain_width.py
+
+# 5. the plain driver bench (default config, headline numbers)
+run bench 3000 python bench.py
+
+echo "=== suite done $(date +%H:%M:%S)" | tee -a "$OUT/suite.log"
