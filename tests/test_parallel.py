@@ -280,3 +280,29 @@ def test_sharded_pna_train_step_matches(setup):
     np.testing.assert_allclose(float(loss_sp), float(loss_1), rtol=1e-3)
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=5e-5)
+
+
+def test_sharded_grad_accum_matches_full_batch(setup):
+    """grad_accum micro-stepping on the sharded step == the full-batch
+    sharded step (each micro-batch still shards over 'data')."""
+    graph, ei, et, index, cfg, params = setup
+    mesh = make_mesh(data=2, edge=4)
+    opt = make_optimizer(lr=1e-3)
+
+    rng = np.random.default_rng(8)
+    n_direct = ei.shape[1] // 2
+    triples = np.stack([ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]], axis=1)
+    batch_triples = triples[rng.choice(len(triples), size=8, replace=False)]
+    batch = tasks.negative_sampling(index, batch_triples, num_negative=4, rng=rng)
+    ew = tasks.easy_edge_weights(index, batch, graph.num_edges_padded)
+    batch, ew = jnp.asarray(batch), jnp.asarray(ew)
+
+    step1 = make_sharded_train_step(mesh, cfg, opt, graph, num_negative=4)
+    s1, l1 = step1(init_train_state(params, opt), graph, batch, ew)
+    step2 = make_sharded_train_step(mesh, cfg, opt, graph, num_negative=4,
+                                    grad_accum=2)
+    s2, l2 = step2(init_train_state(params, opt), graph, batch, ew)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
@@ -63,6 +64,7 @@ def make_sharded_train_step(
     edge_axis: Optional[str] = "edge",
     data_axis: str = "data",
     per_rank_easy_edges: bool = False,
+    grad_accum: int = 1,
 ):
     """Returns jitted (state, graph, batch, edge_weight) -> (state, loss).
 
@@ -105,9 +107,29 @@ def make_sharded_train_step(
 
     @jax.jit
     def train_step(state: TrainState, graph: Graph, batch, edge_weight):
-        loss, grads = jax.value_and_grad(sharded_loss)(
-            state.params, graph, batch, edge_weight
-        )
+        if grad_accum == 1:
+            loss, grads = jax.value_and_grad(sharded_loss)(
+                state.params, graph, batch, edge_weight
+            )
+        else:
+            # sequential micro-batches along the batch axis (each still
+            # sharded over 'data'); grads averaged before one update —
+            # same numerics as the full batch (train/loop.py grad_accum)
+            b = batch.shape[0]
+            assert b % grad_accum == 0, (b, grad_accum)
+            micro = batch.reshape((grad_accum, b // grad_accum) + batch.shape[1:])
+
+            def body(carry, mb):
+                loss_sum, acc = carry
+                l, g = jax.value_and_grad(sharded_loss)(
+                    state.params, graph, mb, edge_weight
+                )
+                return (loss_sum + l, jax.tree.map(jnp.add, acc, g)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (loss_sum, grads), _ = jax.lax.scan(body, (0.0, zeros), micro)
+            loss = loss_sum / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
