@@ -137,6 +137,7 @@ def train_distributed(
         mesh, ultra_cfg, optimizer, graph,
         adversarial_temperature=adv_temp, num_negative=num_negative,
         edge_axis=edge_axis, per_rank_easy_edges=per_rank,
+        grad_accum=int(train_cfg.get("grad_accum", 1)),
     )
     # replicated-by-construction numpy leaves (identical on all processes)
     graph_np = jax.tree.map(np.asarray, graph)
