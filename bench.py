@@ -104,6 +104,10 @@ def build(kind):
         "v2_table_width": p2.tw, "v2_table_groups": p2.n_groups,
         "plan_build_s": round(time.perf_counter() - t0, 1),
     }
+    if graph.plans.w3 is not None:
+        from ultra_tpu.ops.rspmm_pallas_w3 import plan_stats
+
+        stats["w3"] = plan_stats(graph.plans.w3, e_live)
     log(f"[{kind}] graph: V={V} E={e_live} R={2*R_DIRECT} feat={B}x{D} | {stats}")
     return graph, stats
 
