@@ -32,12 +32,27 @@ logging.basicConfig(level=logging.WARNING, format="%(asctime)s %(message)s")
 logger = logging.getLogger("ultra_tpu")
 
 from ultra_tpu.data.zoo import (  # noqa: E402
-    GROUPS, instantiate, iter_targets, target_name,
+    GROUPS, QUERY_GROUPS, QUERY_SENTINEL, instantiate, instantiate_query,
+    is_query_dataset, iter_targets, query_archive_url, query_is_staged,
+    stage_query, target_name,
 )
 
 
 def manifest_entry(name, version, root):
     """Manifest row: where the raw files go and how to obtain them."""
+    if is_query_dataset(name):
+        ds = instantiate_query(name, version, root)
+        return {
+            "dataset": target_name(name, version),
+            "class": name,
+            "raw_files": [os.path.relpath(
+                os.path.join(ds.raw_dir, QUERY_SENTINEL[name]), root
+            ) + " (+ query/answer pickles in the same dir)"],
+            "archive": query_archive_url(name, version, root),
+            "note": ("BetaE-format archive expanded into the root by "
+                     f"ultra_tpu.query.datasets.{name} (shared across "
+                     "member datasets)"),
+        }
     ds = instantiate(name, version, root)
     rel = os.path.relpath
     entry = {
@@ -70,6 +85,8 @@ def main():
     ap.add_argument("--manifest", action="store_true",
                     help="write DATA_MANIFEST.json / DATA_MANIFEST.md")
     args = ap.parse_args()
+    if (args.manifest or args.list) and args.datasets == "all":
+        args.datasets = "all,query_all"  # manifest covers both zoos
 
     targets = list(dict.fromkeys(iter_targets(args.datasets)))
 
@@ -105,6 +122,15 @@ def main():
     for name, version in targets:
         tgt = target_name(name, version)
         try:
+            if is_query_dataset(name):
+                if query_is_staged(name, version, args.root):
+                    logger.warning("%s: raw files present", tgt)
+                    ok.append(tgt)
+                else:
+                    stage_query(name, version, args.root)
+                    logger.warning("%s: staged", tgt)
+                    ok.append(tgt)
+                continue
             ds = instantiate(name, version, args.root)
             missing = [p for p in ds.raw_paths() if not os.path.exists(p)]
             if not missing:

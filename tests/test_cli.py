@@ -221,3 +221,49 @@ exec(open({os.path.join(repo, "scripts", "parity_run.py")!r}).read())
         assert 0.0 <= r["mrr"] <= 1.0 and 0.0 <= r["hits@10"] <= 1.0
     assert (tmp_path / "parity.csv").read_text().count("\n") >= 3
     assert report["precision"] == "highest"
+
+
+def test_parity_run_query_cli(tmp_path):
+    """Fixture-verified dry run of the CLQA parity command: stage a toy
+    BetaE dump at FB15k237LogicalQuery's real manifest path and run
+
+        parity_run_query.py -d FB15k237LogicalQuery --ckpt ultraquery.pth
+
+    with the real checkpoint; unstaged datasets are listed and skipped."""
+    import json
+
+    from tests.test_query_datasets import write_transductive_fixture
+
+    root = tmp_path / "query-datasets"
+    root.mkdir()
+    write_transductive_fixture(str(root), name="FB15k-237-betae")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = "/root/reference/ckpts/ultraquery.pth"
+    if not os.path.exists(ckpt):
+        ckpt = "null"
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        f"""
+import sys
+sys.path.insert(0, {repo!r})
+import tests.conftest
+sys.argv = ["parity_run_query.py", "-d",
+            "FB15k237LogicalQuery,NELL995LogicalQuery",
+            "--ckpt", {ckpt!r}, "--root", {str(root)!r}, "--bs", "4",
+            "--output", "parity_q.csv"]
+exec(open({os.path.join(repo, "scripts", "parity_run_query.py")!r}).read())
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, str(driver)], capture_output=True, text=True,
+        timeout=600, cwd=tmp_path,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    ran = {r["dataset"] for r in report["rows"]}
+    assert ran == {"FB15k237LogicalQuery"}
+    assert "NELL995LogicalQuery" in proc.stderr  # skipped as unstaged
+    row = report["rows"][0]
+    assert 0.0 <= row["epfo_mrr"] <= 1.0
+    assert (tmp_path / "parity_q.csv").exists()
