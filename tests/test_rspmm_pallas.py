@@ -554,3 +554,48 @@ def test_pad_plan_v2_empty_shard():
     w_ext = jnp.zeros((1,), jnp.float32)  # dead_slot=0 -> all weights 0
     out = rspmm_v2_fwd(padded, rel, x, w_ext, mul="mul", out_rows=v)
     np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+@pytest.mark.parametrize("seed", [0, 3, 9])
+def test_w3_plan_invariants(seed):
+    """Every live edge appears exactly once in the w3 layout, with
+    consistent (window, block)-local coordinates and nondecreasing block
+    order (the output-residency requirement)."""
+    from ultra_tpu.ops.rspmm_pallas_w3 import build_plan_w3
+
+    rng = np.random.default_rng(seed)
+    v = int(rng.integers(30, 200))
+    r = int(rng.integers(3, 12))
+    e = int(rng.integers(40, 900))
+    w = int(rng.choice([16, 32, 64]))
+    rb2 = int(rng.choice([16, 48]))
+    ei = rng.integers(0, v, size=(2, e)).astype(np.int64)
+    et = rng.integers(0, r, size=e).astype(np.int64)
+    plan = build_plan_w3(ei, et, v, r, window=w, rb2=rb2, dead_slot=e)
+
+    k, c = plan.num_chunks, plan.window
+    perm = np.asarray(plan.perm)
+    srcl = np.asarray(plan.src_local)
+    dstl = np.asarray(plan.dst_local)
+    win = np.asarray(plan.win_id)
+    blk = np.asarray(plan.out_blk)
+    rank = np.asarray(plan.rank)
+
+    live = perm != e
+    ids, counts = np.unique(perm[live], return_counts=True)
+    assert len(ids) == e and (counts == 1).all()  # each edge exactly once
+    assert (np.diff(blk) >= 0).all()              # blocks consecutive
+
+    rows, cols = np.nonzero(live)
+    eids = perm[rows, cols]
+    # global src recovered from (window, local)
+    np.testing.assert_array_equal(
+        win[rows] * c + srcl[rows, cols], ei[1][eids]
+    )
+    # global compact dst recovered from (block, local)
+    np.testing.assert_array_equal(
+        blk[rows] * rb2 + dstl[rows, cols], rank[ei[0][eids]]
+    )
+    # pad slots carry the sentinel and the dead weight index
+    assert (dstl[~live.all(axis=1)] <= rb2).all()
+    assert (dstl[rows, cols] < rb2).all()
