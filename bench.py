@@ -177,13 +177,24 @@ def main():
         graph, stats = build(kind)
         all_stats[kind] = stats
         if graph.plans.w3 is not None:  # ULTRA_W3=1: windowed-gather kernel
-            configs[f"{kind}/w3"] = (graph, graph.plans, stats["edges"])
+            configs[f"{kind}/w3"] = (
+                graph, graph.plans.replace(v2rg=None, v2rgsrc=None),
+                stats["edges"],
+            )
+        if graph.plans.v2rg is not None:  # ULTRA_V2_RELGATHER=1
+            configs[f"{kind}/v2rg"] = (
+                graph, graph.plans.replace(w3=None, w3src=None),
+                stats["edges"],
+            )
         configs[f"{kind}/v2"] = (
-            graph, graph.plans.replace(w3=None, w3src=None), stats["edges"]
+            graph,
+            graph.plans.replace(w3=None, w3src=None, v2rg=None, v2rgsrc=None),
+            stats["edges"],
         )
         configs[f"{kind}/v1"] = (
             graph,
-            graph.plans.replace(v2=None, v2src=None, w3=None, w3src=None),
+            graph.plans.replace(v2=None, v2src=None, w3=None, w3src=None,
+                                v2rg=None, v2rgsrc=None),
             stats["edges"],
         )
 
@@ -221,7 +232,8 @@ def main():
             f"({eps[name]/1e6:.0f} M edges/s)")
 
     headline_name = next(
-        (n for n in ("realistic/w3", "realistic/v2", "realistic/v1")
+        (n for n in ("realistic/w3", "realistic/v2rg", "realistic/v2",
+                     "realistic/v1")
          if n in eps), max(eps, key=eps.get),
     )
     headline = eps[headline_name]
@@ -292,6 +304,8 @@ def main():
             ("v1_edges_per_sec", "realistic/v1"),
             ("w3_edges_per_sec", "realistic/w3"),
             ("uniform_w3_edges_per_sec", "uniform/w3"),
+            ("v2rg_edges_per_sec", "realistic/v2rg"),
+            ("uniform_v2rg_edges_per_sec", "uniform/v2rg"),
         )
         if n in eps
     }

@@ -599,3 +599,37 @@ def test_w3_plan_invariants(seed):
     # pad slots carry the sentinel and the dead weight index
     assert (dstl[~live.all(axis=1)] <= rb2).all()
     assert (dstl[rows, cols] < rb2).all()
+
+
+@pytest.mark.parametrize("mul_op", ["mul", "add"])
+def test_v2_rel_gather_matches_xla(rng, mul_op, monkeypatch):
+    """The v2 rel-gather variant (relation rows via the same-shape
+    in-kernel gather, ULTRA_V2_RELGATHER=1): fwd + full VJP vs the oracle;
+    d_rel must still come from the clustered plan."""
+    monkeypatch.setenv("ULTRA_V2_RELGATHER", "1")
+    ei, et, ew, rel, x = make_inputs(rng, v=60, r=9, e=260)
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0], pad_to=320)
+    graph = attach_plans(graph, rb=32, chunk=64, v2_chunk=64)
+    assert graph.plans.v2rg is not None and graph.plans.v2rg.rel_gather
+    assert graph.plans.v2 is not None and not graph.plans.v2.rel_gather
+
+    def loss_p(rel_, x_):
+        out = rspmm_from_graph(graph, rel_, x_, sum="add", mul=mul_op)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_x(rel_, x_):
+        out = generalized_rspmm(
+            jnp.asarray(ei), jnp.asarray(et), jnp.asarray(ew), rel_, x_,
+            sum="add", mul=mul_op, backend="xla",
+        )
+        return jnp.sum(jnp.sin(out))
+
+    (lp, gp) = jax.value_and_grad(loss_p, argnums=(0, 1))(
+        jnp.asarray(rel), jnp.asarray(x))
+    (lx, gx) = jax.value_and_grad(loss_x, argnums=(0, 1))(
+        jnp.asarray(rel), jnp.asarray(x))
+    np.testing.assert_allclose(float(lp), float(lx), rtol=2e-4)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)

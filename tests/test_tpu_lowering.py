@@ -74,3 +74,11 @@ def test_v1_paths_lower_for_tpu(force_mosaic, graph_and_inputs):
     graph = attach_plans(graph, v2=False, w3=False)
     _lower_grad(graph, rel, x, "add", "mul")
     _lower_grad(graph, rel, x, "max", "mul")
+
+
+def test_v2_rel_gather_lowers_for_tpu(force_mosaic, graph_and_inputs, monkeypatch):
+    monkeypatch.setenv("ULTRA_V2_RELGATHER", "1")
+    graph, rel, x = graph_and_inputs
+    graph = attach_plans(graph, w3=False, v2_chunk=128)
+    assert graph.plans.v2rg is not None
+    _lower_grad(graph, rel, x, "add", "mul")

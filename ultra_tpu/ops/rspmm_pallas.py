@@ -1026,6 +1026,13 @@ class GraphPlans:
     # attach_plans(w3=True) or ULTRA_W3=1 — probe-gated, see that module)
     w3: Optional[object] = None
     w3src: Optional[object] = None
+    # optional v2 rel-gather plans (PlanV2 with rel_gather=True): the fused
+    # kernel fetches relation rows by the same-shape in-kernel gather
+    # instead of the tw-wide one-hot select — sum fwd/d_x only (the
+    # rel-grad keeps the clustered ``v2`` plan, whose OUTPUT is the table).
+    # Probe-gated via ULTRA_V2_RELGATHER=1; mainly a uniform-histogram win.
+    v2rg: Optional[object] = None
+    v2rgsrc: Optional[object] = None
 
     @classmethod
     def build(
@@ -1206,6 +1213,24 @@ def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=N
             sort_slots=False,
         )
         plans = plans.replace(v2=plan2, v2src=plan2s)
+        import os as _osmod
+
+        r_pad_graph = max(_round_up(graph.num_relations, 8), 8)
+        if (_osmod.environ.get("ULTRA_V2_RELGATHER", "") == "1"
+                and r_pad_graph <= v2_chunk):
+            plan2rg = build_plan_v2(
+                ei[:, live], et[live], graph.num_nodes, graph.num_relations,
+                chunk=v2_chunk, edge_ids=live,
+                dead_slot=graph.num_edges_padded, sort_slots=False,
+                rel_gather=True,
+            )
+            plan2rgs = build_plan_v2(
+                ei[::-1][:, live], et[live], graph.num_nodes,
+                graph.num_relations, chunk=v2_chunk, edge_ids=live,
+                dead_slot=graph.num_edges_padded, sort_slots=False,
+                rel_gather=True,
+            )
+            plans = plans.replace(v2rg=plan2rg, v2rgsrc=plan2rgs)
     if w3 is None:
         import os
 
@@ -1252,11 +1277,12 @@ def rspmm_pallas_sum(mul: str, num_nodes: int, precision, plans: GraphPlans,
             plans.w3, _flatten(relation), _flatten(x), w_ext, mul=mul,
             out_rows=num_nodes, precision=precision,
         )
-    elif plans.v2 is not None and f <= V2_MAX_F:
+    elif (plans.v2rg is not None or plans.v2 is not None) and f <= V2_MAX_F:
         from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_fwd
 
         out = rspmm_v2_fwd(
-            plans.v2, _flatten(relation), _flatten(x), w_ext, mul=mul,
+            plans.v2rg if plans.v2rg is not None else plans.v2,
+            _flatten(relation), _flatten(x), w_ext, mul=mul,
             out_rows=num_nodes, precision=precision,
         )
     else:
@@ -1293,11 +1319,12 @@ def _bwd(mul, num_nodes, precision, res, g):
             plans.w3src, rel_or_ones, g2, w_ext, mul="mul",
             out_rows=x.shape[0], precision=precision,
         ).reshape(shape)
-    elif plans.v2src is not None and f <= V2_MAX_F:
+    elif (plans.v2rgsrc is not None or plans.v2src is not None) and f <= V2_MAX_F:
         from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_fwd
 
         d_x = rspmm_v2_fwd(
-            plans.v2src, rel_or_ones, g2, w_ext, mul="mul",
+            plans.v2rgsrc if plans.v2rgsrc is not None else plans.v2src,
+            rel_or_ones, g2, w_ext, mul="mul",
             out_rows=x.shape[0], precision=precision,
         ).reshape(shape)
     else:

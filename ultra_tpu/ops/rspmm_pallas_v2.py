@@ -108,6 +108,13 @@ class PlanV2:
     n_compact_pad: int = struct.field(pytree_node=False)
     e_pad: int = struct.field(pytree_node=False)
     sorted_slots: bool = struct.field(pytree_node=False, default=False)
+    # relation rows fetched by a same-shape in-kernel gather from ONE
+    # resident (chunk, F) relation window instead of the tw-wide one-hot
+    # select; type_local then holds GLOBAL padded relation ids. Probe-gated
+    # (requires Mosaic's same-shape dynamic_gather — see rspmm_pallas_w3).
+    # fwd/d_x only: the rel-grad's OUTPUT is the table, so it keeps the
+    # clustered plan.
+    rel_gather: bool = struct.field(pytree_node=False, default=False)
 
 
 def _type_signatures(dst: np.ndarray, et: np.ndarray, num_nodes: int):
@@ -185,6 +192,7 @@ def build_plan_v2(
     cluster: bool = True,
     sort_slots: bool = True,
     table_budget: float = 0.5,  # max table rows as a fraction of E_pad
+    rel_gather: bool = False,
 ) -> PlanV2:
     """Lay out edges dst-major (clustered order), pad per dst to multiples
     of FOLD and per compact block to multiples of ALIGN, group chunks
@@ -280,9 +288,16 @@ def build_plan_v2(
     # --- relation-table grouping -----------------------------------------
     types_c = types_p.reshape(k, chunk)
     live_c = live.reshape(k, chunk)
-    tw, n_groups, group_id, table_ids, type_local = _group_tables(
-        types_c, live_c, tw, r_pad, e_pad, cluster, table_budget
-    )
+    if rel_gather:
+        assert r_pad <= chunk, (r_pad, chunk)
+        tw, n_groups = chunk, 1
+        group_id = np.zeros(k, np.int32)
+        table_ids = np.arange(chunk, dtype=np.int64).clip(0, r_pad - 1)
+        type_local = types_c.astype(np.int32)
+    else:
+        tw, n_groups, group_id, table_ids, type_local = _group_tables(
+            types_c, live_c, tw, r_pad, e_pad, cluster, table_budget
+        )
 
     n_c_pad = _round_up(max(n_c, 1), rb2)
     rank_out = np.where(rank >= 0, rank, n_c_pad).astype(np.int32)
@@ -301,6 +316,7 @@ def build_plan_v2(
         dst_local=jnp.asarray(np.repeat(k2_local, FOLD).reshape(k, chunk)),
         tab_valid=jnp.ones((n_groups * tw,), jnp.float32),
         sorted_slots=bool(sort_slots),
+        rel_gather=bool(rel_gather),
         num_chunks=k,
         chunk=chunk,
         tw=int(tw),
@@ -391,7 +407,7 @@ def pad_plan_v2(
     )
 
 
-def _fused_kernel(mul_op, c, g, tw, rb2, prec,
+def _fused_kernel(mul_op, rel_gather, c, g, tw, rb2, prec,
                   group_ref, blk_ref, tl_ref, w_ref, k2l_ref, xe_ref, tab_ref,
                   out_ref, scratch):
     """Chunk of C edges -> C/FOLD slot rows staged in scratch; every g-th
@@ -410,15 +426,22 @@ def _fused_kernel(mul_op, c, g, tw, rb2, prec,
     # the (C,) -> (C, 1) reshape must happen in f32 (Mosaic rejects the
     # 1-D bf16 relayout); weights ship as f32 rows for the same reason
     wcol = w_ref[pl.ds(row, 1), :][0][:, None].astype(cdt)
-    sel = _onehot(tl, tw, cdt)
-    if mul_op == "mul":
-        sel = sel * wcol             # fold w into the select: rows = w*rel[t]
-    # Mosaic requires 32-bit matmul accumulators; cast the (exact) one-hot
-    # selection back to the stream dtype for the elementwise stage
-    relg = jnp.dot(sel, tab_ref[:], preferred_element_type=jnp.float32,
-                   precision=prec).astype(cdt)
     xe = xe_ref[:]
-    m = xe * relg if mul_op == "mul" else (xe + relg) * wcol
+    if rel_gather:
+        # same-shape in-kernel gather from the resident relation window
+        idxr = jnp.broadcast_to(tl[:, None], (c, tab_ref.shape[1]))
+        relg = jnp.take_along_axis(tab_ref[:], idxr, axis=0)
+        m = xe * relg * wcol if mul_op == "mul" else (xe + relg) * wcol
+    else:
+        sel = _onehot(tl, tw, cdt)
+        if mul_op == "mul":
+            sel = sel * wcol         # fold w into the select: rows = w*rel[t]
+        # Mosaic requires 32-bit matmul accumulators; cast the (exact)
+        # one-hot selection back to the stream dtype for the elementwise
+        # stage
+        relg = jnp.dot(sel, tab_ref[:], preferred_element_type=jnp.float32,
+                       precision=prec).astype(cdt)
+        m = xe * relg if mul_op == "mul" else (xe + relg) * wcol
 
     # fold-8: banded constant (C/8, C) matmul — MXU-native, no sublane
     # relayout (a reshape(.,8,F).sum(1) lowers to slow strided selects)
@@ -499,7 +522,12 @@ def rspmm_v2_fwd(
     x_e = jnp.take(
         jax.lax.optimization_barrier(x.astype(stream_dt)), plan.src_p, axis=0
     )  # (E_pad, F)
-    tabs = jnp.take(rel_pad.astype(stream_dt), plan.table_ids, axis=0)
+    if plan.rel_gather:
+        tabs = jnp.pad(
+            rel_pad.astype(stream_dt), ((0, plan.tw - r_pad), (0, 0))
+        )
+    else:
+        tabs = jnp.take(rel_pad.astype(stream_dt), plan.table_ids, axis=0)
     w_p = jnp.take(edge_weight_ext, plan.perm, axis=0)             # (E_pad,)
 
     k, c = plan.num_chunks, plan.chunk
@@ -511,7 +539,10 @@ def rspmm_v2_fwd(
     tl = _pad8(plan.type_local)
 
     out_c = pl.pallas_call(
-        functools.partial(_fused_kernel, mul, c, gsz, plan.tw, plan.rb2, prec),
+        functools.partial(
+            _fused_kernel, mul, plan.rel_gather, c, gsz, plan.tw, plan.rb2,
+            prec,
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nf, k),
