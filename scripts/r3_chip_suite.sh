@@ -41,4 +41,12 @@ run pretrain_width 4800 python scripts/exp_pretrain_width.py
 # 5. the plain driver bench (default config, headline numbers)
 run bench 3000 python bench.py
 
+# 6. serving latency recheck (p50/p99 warm, bs 1 and 8)
+run serve 1800 python scripts/exp_serve_latency.py
+
+# 7. CLQA grouped training: round-bucket jit-variant count + first-step
+#    (compile-inclusive) wall time — the VERDICT-r2 compile-cost number.
+#    Last: its cold compile is the longest (cache makes reruns fast).
+run clqa_train 3600 python scripts/chip_query_train.py --steps 4 --grouped
+
 echo "=== suite done $(date +%H:%M:%S)" | tee -a "$OUT/suite.log"
