@@ -13,13 +13,19 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-comp-cache")
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-V, E_DIRECT, R_DIRECT = 14541, 272115, 237
-BS, NEG = int(os.environ.get("BS", 8)), int(os.environ.get("NEG", 32))
+SMOKE = os.environ.get("PNA_SMOKE", "") == "1"  # CPU shape/path check
+if SMOKE:
+    V, E_DIRECT, R_DIRECT = 300, 18000, 24
+    BS, NEG = 4, 4
+else:
+    V, E_DIRECT, R_DIRECT = 14541, 272115, 237
+    BS, NEG = int(os.environ.get("BS", 8)), int(os.environ.get("NEG", 32))
 ITERS = int(os.environ.get("ITERS", 8))
 
 
@@ -28,6 +34,11 @@ def log(*a):
 
 
 def main():
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+        import jax._src.xla_bridge as xb
+
+        xb._backend_factories.pop("axon", None)
     from ultra_tpu import tasks
     from ultra_tpu.data.synthetic import random_kg_triples, with_inverses
     from ultra_tpu.graph import make_graph, pad_bucket

@@ -21,13 +21,19 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-comp-cache")
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-V, E_DIRECT, R_DIRECT = 14541, 272115, 237
-BS, NEG = int(os.environ.get("BS", 64)), int(os.environ.get("NEG", 512))
+SMOKE = os.environ.get("WIDTH_SMOKE", "") == "1"  # CPU shape/path check
+if SMOKE:
+    V, E_DIRECT, R_DIRECT = 300, 18000, 24
+    BS, NEG = 8, 4
+else:
+    V, E_DIRECT, R_DIRECT = 14541, 272115, 237
+    BS, NEG = int(os.environ.get("BS", 64)), int(os.environ.get("NEG", 512))
 ITERS = int(os.environ.get("ITERS", 5))
 
 
@@ -36,6 +42,11 @@ def log(*a):
 
 
 def main():
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+        import jax._src.xla_bridge as xb
+
+        xb._backend_factories.pop("axon", None)
     from ultra_tpu import tasks
     from ultra_tpu.data.synthetic import random_kg_triples, with_inverses
     from ultra_tpu.graph import make_graph, pad_bucket
@@ -69,14 +80,19 @@ def main():
     )
     graph = make_graph(ei, et, num_nodes=V, num_relations=2 * R_DIRECT,
                        pad_to=e_pad, relation_graph=rel_graph)
+    # attach ALL generations once (w3 included); per-variant graphs below
+    # drop plan fields so the dispatch routes v1-only / v2-only / w3
     graph = attach_plans(
-        graph, rb=384, chunk=128,
+        graph, rb=384, chunk=128, w3=True,
         host_edges=(
             np.pad(ei, ((0, 0), (0, e_pad - e))),
             np.pad(et, (0, e_pad - e)),
             np.pad(np.ones(e, np.float32), (0, e_pad - e)),
         ),
     )
+    has_w3 = graph.plans.w3 is not None  # cell-waste gate may refuse
+    g_w3 = graph
+    graph = graph.replace(plans=graph.plans.replace(w3=None, w3src=None))
 
     params = to_jax(convert_ultra_checkpoint("/root/reference/ckpts/ultra_3g.pth"))
     cfg = UltraConfig()
@@ -106,6 +122,16 @@ def main():
         ("v2 grad_accum=4 (F=1024)", graph, 1e9, 2048, 4),
         ("v1 grad_accum=2", g_v1, None, None, 2),
     ]
+    if has_w3:
+        # w3 has NO materialized stream — the stream/remat HBM fight that
+        # makes sliced v2 lose at F=4096 does not exist for it (fwd + d_x
+        # route w3; d_rel stays on the sliced v2 clustered plan)
+        variants += [
+            ("w3 F=4096", g_w3, 1e9, 4096, 1),
+            ("w3 grad_accum=2 (F=2048)", g_w3, 1e9, 2048, 2),
+        ]
+    else:
+        log("w3 variants skipped: cell-waste gate refused the plan")
     for name, g, slice_bytes, max_f, accum in variants:
         if slice_bytes is not None:
             v2mod.SLICE_BYTES = int(slice_bytes)
