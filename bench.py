@@ -91,8 +91,14 @@ def build(kind):
     )
     graph = make_graph(ei, et, num_nodes=V, num_relations=2 * R_DIRECT, pad_to=e_pad)
     t0 = time.perf_counter()
+    # bench-local: measure EVERY kernel generation regardless of the shipped
+    # env gates (the driver runs default env; a winning w3/v2rg config must
+    # still land in the recorded JSON). Config selection stays measurement-
+    # driven: the headline is the fastest realistic config, not a preference.
+    os.environ.setdefault("ULTRA_V2_RELGATHER", "1")
     graph = attach_plans(
-        graph, rb=V1_RB, chunk=V1_CHUNK, v2_chunk=V2_CHUNK, host_edges=host
+        graph, rb=V1_RB, chunk=V1_CHUNK, v2_chunk=V2_CHUNK, host_edges=host,
+        w3=os.environ.get("ULTRA_W3", "1") != "0",
     )
     p1, p2 = graph.plans.dst, graph.plans.v2
     stats = {
@@ -231,11 +237,10 @@ def main():
         log(f"{name}: rounds {['%.2f' % m for m in rounds]} median {med:.2f} ms "
             f"({eps[name]/1e6:.0f} M edges/s)")
 
-    headline_name = next(
-        (n for n in ("realistic/w3", "realistic/v2rg", "realistic/v2",
-                     "realistic/v1")
-         if n in eps), max(eps, key=eps.get),
-    )
+    # headline = the FASTEST measured realistic config (all generations are
+    # timed in the same interleaved process, so the comparison is fair)
+    realistic = {n: v for n, v in eps.items() if n.startswith("realistic/")}
+    headline_name = max(realistic or eps, key=(realistic or eps).get)
     headline = eps[headline_name]
     v1_eps = eps.get("realistic/v1")
     log(f"headline ({headline_name}): {headline/1e6:.1f} M edges/s | "
@@ -300,6 +305,7 @@ def main():
     opt = {
         k: round(eps[n], 1)
         for k, n in (
+            ("v2_edges_per_sec", "realistic/v2"),
             ("uniform_edges_per_sec", "uniform/v2"),
             ("v1_edges_per_sec", "realistic/v1"),
             ("w3_edges_per_sec", "realistic/w3"),

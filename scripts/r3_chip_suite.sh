@@ -25,12 +25,11 @@ import jax.numpy as jnp; print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"
 # 1. the gather probes (decide w3's fate + record the DMA issue rate)
 run dma_gather 1800 python scripts/exp_dma_gather.py
 
-# 2a. v2 rel-gather A/B (uniform-histogram win if the gather is fast)
-run v2rg_bench 3000 env ULTRA_V2_RELGATHER=1 python bench.py
-
-# 2. w3 vs v2 on-chip parity + timing at the bench shape (only meaningful
-#    if probe B/D lowered; harmless failure otherwise)
-run w3_bench 3000 env ULTRA_W3=1 python bench.py
+# 2. all-generation bench (bench.py now times v1/v2/v2rg/w3 in ONE
+#    interleaved process and headlines the fastest realistic config);
+#    per-config compile failures are isolated, so a w3 Mosaic failure
+#    costs only that config
+run bench_all 4800 python bench.py
 
 # 3. v2 min/max gradient kernels: PNA train-step A/B
 run pna_train 3000 python scripts/exp_pna_train.py
