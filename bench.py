@@ -91,15 +91,21 @@ def build(kind):
     )
     graph = make_graph(ei, et, num_nodes=V, num_relations=2 * R_DIRECT, pad_to=e_pad)
     t0 = time.perf_counter()
-    # bench-local: measure EVERY kernel generation regardless of the shipped
-    # env gates (the driver runs default env; a winning w3/v2rg config must
-    # still land in the recorded JSON). Config selection stays measurement-
-    # driven: the headline is the fastest realistic config, not a preference.
-    os.environ.setdefault("ULTRA_V2_RELGATHER", "1")
+    # w3/v2rg are DEAD on this Mosaic backend — their >8-row same-shape
+    # gathers hit "Not implemented: Multiple source vregs along gather
+    # dimension" (f32) / "Gather indices and result have different
+    # bitwidths" (bf16) in the chip compiler (scripts/aot_compile_probe.py,
+    # ROOFLINE.md round-3 probes). BENCH_TRY_W3=1 re-includes them so a
+    # future backend upgrade is one env var away from re-measurement.
+    try_dead = os.environ.get("BENCH_TRY_W3", "0") == "1"
+    if try_dead:
+        os.environ["ULTRA_V2_RELGATHER"] = "1"
     graph = attach_plans(
         graph, rb=V1_RB, chunk=V1_CHUNK, v2_chunk=V2_CHUNK, host_edges=host,
-        w3=os.environ.get("ULTRA_W3", "1") != "0",
+        w3=try_dead and os.environ.get("ULTRA_W3", "1") != "0",
     )
+    if try_dead:  # scope to this attach: the e2e rel-graph attach must not
+        os.environ.pop("ULTRA_V2_RELGATHER", None)  # inherit a dead kernel
     p1, p2 = graph.plans.dst, graph.plans.v2
     stats = {
         "edges": e_live,
@@ -261,7 +267,10 @@ def main():
             from ultra_tpu.graph import make_graph, pad_bucket
             from ultra_tpu.ops.rspmm_pallas import attach_plans
 
+            # prune to v2-only plans: graph.plans may carry probe-gated
+            # generations (w3/v2rg) that do not compile on this backend
             graph = configs["realistic/v2"][0]
+            graph = graph.replace(plans=configs["realistic/v2"][1])
             trip = random_kg_triples(V, R_DIRECT, E_DIRECT, seed=0,
                                      rel_dist="zipf", categories=30)
             ei, et = with_inverses(trip, R_DIRECT)

@@ -787,9 +787,15 @@ def _minmax_route(mul_op, cdt, xe, relg, wcol, out_e):
     could drop it) at the cost of occasionally routing bf16-collided
     near-ties too."""
     m = xe * relg if mul_op == "mul" else xe + relg       # f32, fwd-identical
-    live2 = wcol != 0.0
-    route = ((m * wcol).astype(cdt) == out_e.astype(cdt)) & live2
-    return m, jnp.where(route, 1.0, 0.0)
+    # round both sides to the stream dtype, then COMPARE IN f32: a bf16
+    # cmpf (vector<8x128x2xbf16> -> i1) hits Mosaic's "Invalid relayout
+    # ... replicated in destination" on-chip; bf16->f32 is exact, so the
+    # symmetric-truncation tie semantics are unchanged
+    lhs = (m * wcol).astype(cdt).astype(jnp.float32)
+    rhs = out_e.astype(cdt).astype(jnp.float32)
+    eq = (lhs == rhs).astype(jnp.float32)
+    live2 = (wcol != 0.0).astype(jnp.float32)              # (c, 1) f32
+    return m, eq * live2
 
 
 def _minmax_dx_kernel_v2(mul_op, c, g, tw, rb2, prec,
