@@ -890,15 +890,25 @@ def split_to_graph(
     with_plans: bool = False,
     plan_rb=None,
     plan_chunk: int = 128,
+    pad_rel_edges_bucket: Optional[int] = None,
 ):
     """KGSplit -> device Graph with relation graph (and optional Pallas
-    plans) attached."""
+    plans) attached.
+
+    ``pad_rel_edges_bucket``: bucket the relation graph's ACTUAL edge count
+    (which is data-dependent, up to 4*R^2 — a pre-computed pad can only
+    guess) instead of a fixed ``pad_rel_edges_to``."""
     from ultra_tpu import tasks
-    from ultra_tpu.graph import make_graph
+    from ultra_tpu.graph import make_graph, pad_bucket
 
     rel_ei, rel_et = tasks.build_relation_graph_arrays(
         split.edge_index, split.edge_type, split.num_nodes, split.num_relations
     )
+    if pad_rel_edges_bucket is not None:
+        assert pad_rel_edges_to is None
+        pad_rel_edges_to = pad_bucket(
+            max(rel_ei.shape[1], 64), pad_rel_edges_bucket
+        )
     rel_graph = make_graph(
         rel_ei, rel_et, num_nodes=split.num_relations, num_relations=4,
         pad_to=pad_rel_edges_to,

@@ -75,10 +75,13 @@ def prepare_graph(split: kg.KGSplit, with_plans: Optional[bool] = None) -> Graph
     if with_plans is None:
         with_plans = use_pallas_default()
     e = split.edge_index.shape[1]
+    # the relation graph's edge count is data-dependent (up to 4*R^2);
+    # bucket the real count — padding to ~4*R crashed on any graph whose
+    # relations co-occur densely (caught by the round-3 on-chip CLI run)
     return kg.split_to_graph(
         split,
         pad_edges_to=pad_bucket(e, 2048),
-        pad_rel_edges_to=pad_bucket(max(split.num_relations * 4, 64), 1024),
+        pad_rel_edges_bucket=1024,
         with_plans=with_plans,
     )
 
