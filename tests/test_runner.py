@@ -160,3 +160,27 @@ print("resumed ok")
     assert proc.returncode == 0, proc.stderr[-1500:]
     assert "resumed ok" in proc.stdout
     assert "restart 1: resuming from" in proc.stderr
+
+
+def test_prepare_graph_dense_relation_cooccurrence():
+    """The relation graph's edge count is data-dependent (up to 4*R^2).
+    prepare_graph used to pad it to ~4*R, which crashed on any graph whose
+    relations co-occur densely — caught by the round-3 on-chip CLI run at
+    FB15k-237 scale (31,416 rel edges vs a 2,048 guess)."""
+    rng = np.random.default_rng(0)
+    num_rel = 40  # dense co-occurrence: ~4*R^2 = 6400 >> the old 1024 pad
+    h = rng.integers(0, 6, size=2000)
+    t = rng.integers(0, 6, size=2000)
+    r = rng.integers(0, num_rel, size=2000)
+    split = kg.KGSplit(
+        edge_index=np.stack([h, t]),
+        edge_type=r,
+        num_nodes=6,
+        num_relations=num_rel,
+        target_edge_index=np.stack([h[:8], t[:8]]),
+        target_edge_type=r[:8],
+    )
+    graph = runner.prepare_graph(split, with_plans=False)
+    rel_e = graph.relation_graph.edge_index.shape[1]
+    assert rel_e >= graph.relation_graph.num_edges  # padded, not truncated
+    assert graph.relation_graph.num_edges > 4 * num_rel  # the dense case
