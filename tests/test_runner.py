@@ -184,3 +184,32 @@ def test_prepare_graph_dense_relation_cooccurrence():
     rel_e = graph.relation_graph.edge_index.shape[1]
     assert rel_e >= graph.relation_graph.num_edges  # padded, not truncated
     assert graph.relation_graph.num_edges > 4 * num_rel  # the dense case
+
+
+def test_auto_remat_on_hbm_oom(toy_registered, tmp_path, monkeypatch):
+    """An HBM OOM at train-step compile retries once with remat enabled
+    (compile-time failure: no training progress to lose)."""
+    calls = []
+    real = runner.train_and_validate
+
+    def fake(cfg, ultra_cfg, params, *a, **kw):
+        calls.append((ultra_cfg.relation_model.remat, ultra_cfg.entity_model.remat))
+        if len(calls) == 1:
+            raise RuntimeError(
+                "XLA:TPU compile permanent error. Ran out of memory in "
+                "memory space hbm. Used 16.68G of 15.75G hbm."
+            )
+        return real(cfg, ultra_cfg, params, *a, **kw)
+
+    monkeypatch.setattr(runner, "train_and_validate", fake)
+    cfg = {
+        "output_dir": str(tmp_path),
+        "dataset": {"class": "ToyRun", "root": toy_registered},
+        "model": small_model_cfg(),
+        "task": {"name": "TransductiveInference", "metric": ["mrr"]},
+        "optimizer": {"lr": 1e-3},
+        "train": {"batch_size": 4, "num_epoch": 1, "batch_per_epoch": 4},
+    }
+    results = runner.run_link_prediction(cfg, str(tmp_path / "wd"))
+    assert calls == [(False, False), (True, True)]
+    assert "test" in results

@@ -313,10 +313,37 @@ def run_link_prediction(
             logger.warning("%s metrics: %s", split, results[split])
         return results
 
-    params = train_and_validate(
-        cfg, ultra_cfg, params, graphs, dataset, filtered, workdir,
-        seed=seed, dataset_name=ds_name,
-    )
+    try:
+        params = train_and_validate(
+            cfg, ultra_cfg, params, graphs, dataset, filtered, workdir,
+            seed=seed, dataset_name=ds_name,
+        )
+    except Exception as exc:  # noqa: BLE001 — auto-remat on HBM OOM
+        if "Ran out of memory" not in str(exc) and "RESOURCE_EXHAUSTED" not in str(exc):
+            raise
+        if ultra_cfg.relation_model.remat and ultra_cfg.entity_model.remat:
+            raise
+        # the train step's activations are O(layers * V * B * D); remat
+        # drops that to O(V * B * D) at ~2x fwd flops. OOM happens at
+        # compile time (step 0), so no training progress is lost.
+        import dataclasses
+
+        logger.warning(
+            "train step OOMed HBM (%s...); retrying with remat: yes — set "
+            "model.{relation_model,entity_model}.remat explicitly to avoid "
+            "the doubled first compile", str(exc)[:120],
+        )
+        ultra_cfg = dataclasses.replace(
+            ultra_cfg,
+            relation_model=dataclasses.replace(
+                ultra_cfg.relation_model, remat=True),
+            entity_model=dataclasses.replace(
+                ultra_cfg.entity_model, remat=True),
+        )
+        params = train_and_validate(
+            cfg, ultra_cfg, params, graphs, dataset, filtered, workdir,
+            seed=seed, dataset_name=ds_name,
+        )
 
     results = {}
     for split in ("valid", "test"):
