@@ -50,6 +50,7 @@ rspmm.cpp:50-75 (sum over w_e * op(rel[t_e], x[src_e])).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -70,6 +71,13 @@ ALIGN = 1024  # edge-layout block alignment = one flush group (128 slots)
 import os as _os
 
 SLICE_BYTES = int(float(_os.environ.get("ULTRA_V2_SLICE_BYTES", "1e9")))
+
+
+def _vmem_limit_kw():
+    """ULTRA_V2_VMEM_MB: optional Mosaic VMEM budget override for the v2
+    forward (deeper input double-buffering; measured via bench.py)."""
+    mb = os.environ.get("ULTRA_V2_VMEM_MB", "")
+    return {"vmem_limit_bytes": int(mb) << 20} if mb else {}
 
 
 def _f_slice_width(e_pad: int, f: int) -> int:
@@ -563,6 +571,7 @@ def rspmm_v2_fwd(
         out_shape=jax.ShapeDtypeStruct((plan.n_compact_pad, f), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            **_vmem_limit_kw(),
         ),
         interpret=_interpret(),
     )(plan.group_id, plan.k2_blk, tl, w_kc, _pad8(plan.k2_local), x_e, tabs)
