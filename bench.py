@@ -218,6 +218,23 @@ def main():
 
         chains[name] = (make_chain(step, 1), make_chain(step, ITERS))
 
+    # the PNA-path max-aggregation primal (v2 hierarchical scan), timed in
+    # the same process so the driver records it; slower by design than the
+    # sum fwd, so it can never displace the headline
+    from ultra_tpu.ops.rspmm_pallas import rspmm_pallas_minmax
+
+    g_mm, p_mm, e_mm = configs["realistic/v2"]
+
+    def step_mm(x):
+        out = rspmm_pallas_minmax(
+            p_mm, rel, x, g_mm.edge_weight, mul="mul", sum_op="max",
+            num_nodes=V,
+        )
+        return 0.999 * x + 0.001 * jnp.where(jnp.isfinite(out), out, 0.0)
+
+    configs["realistic/v2max"] = (g_mm, p_mm, e_mm)
+    chains["realistic/v2max"] = (make_chain(step_mm, 1), make_chain(step_mm, ITERS))
+
     results = {name: [] for name in configs}
     broken = {}
     for name, (f1, fn) in list(chains.items()):  # compile warm-up pass
@@ -317,6 +334,7 @@ def main():
             ("v2_edges_per_sec", "realistic/v2"),
             ("uniform_edges_per_sec", "uniform/v2"),
             ("v1_edges_per_sec", "realistic/v1"),
+            ("v2max_edges_per_sec", "realistic/v2max"),
             ("w3_edges_per_sec", "realistic/w3"),
             ("uniform_w3_edges_per_sec", "uniform/w3"),
             ("v2rg_edges_per_sec", "realistic/v2rg"),
