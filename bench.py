@@ -325,6 +325,55 @@ def main():
             fms = slope_ms(f1, fn, jnp.zeros((1,)), 4)
             log(f"ultra fwd (B=8, all-node scores, ultra_3g): {fms:.1f} ms")
             extra["ultra_fwd_ms"] = round(fms, 1)
+
+            # fine-tune step diagnostic: value_and_grad + AdamW update
+            # (bs 8, 32 strict negatives — config/transductive finetune
+            # shape), chained through the TrainState carry so the slope
+            # excludes dispatch
+            try:
+                from ultra_tpu.train.loop import (
+                    init_train_state, make_optimizer, make_train_step,
+                )
+
+                index = tasks.GraphIndex.build(ei, et, V, 2 * R_DIRECT)
+                n_direct = ei.shape[1] // 2
+                triples = np.stack(
+                    [ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]],
+                    axis=1,
+                )
+                rng2 = np.random.default_rng(1)
+                rows = triples[rng2.choice(n_direct, size=B, replace=False)]
+                tb = tasks.negative_sampling(index, rows, num_negative=32,
+                                             rng=rng2)
+                tew = tasks.easy_edge_weights(index, tb,
+                                              graph.num_edges_padded)
+                tb, tew = jnp.asarray(tb), jnp.asarray(tew)
+                opt_tx = make_optimizer()
+                tstep = make_train_step(cfg, opt_tx, num_negative=32)
+                state0 = init_train_state(params, opt_tx)
+
+                def tchain(n):
+                    return jax.jit(lambda st: jax.lax.fori_loop(
+                        0, n,
+                        lambda i, s: tstep(s, graph, tb, tew)[0], st,
+                    ))
+
+                t1c, tnc = tchain(1), tchain(4)
+
+                def force(st):
+                    return float(
+                        jnp.sum(st.params["entity_model"]["mlp"][0]["w"])
+                    )
+
+                force(t1c(state0)); force(tnc(state0))  # compile warm-up
+                t0 = time.perf_counter(); force(t1c(state0))
+                ta = time.perf_counter(); force(tnc(state0))
+                tb_end = time.perf_counter()
+                tms = max((tb_end - ta) - (ta - t0), 1e-9) / 3 * 1e3
+                log(f"finetune step (bs 8, 32 negs, chained): {tms:.0f} ms")
+                extra["finetune_step_ms"] = round(tms, 1)
+            except Exception as exc:  # noqa: BLE001
+                log(f"train diagnostic skipped: {type(exc).__name__}: {exc}")
     except Exception as exc:  # noqa: BLE001
         log(f"e2e diagnostic skipped: {type(exc).__name__}: {exc}")
 

@@ -373,6 +373,34 @@ def test_pad_plan_v2_preserves_results(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_build_plan_v2_src_sort_preserves_results(rng):
+    """``src_sort`` adds a source-row tiebreak to the edge order and a
+    min-src tiebreak to the slot order (a gather-DRAM-locality lever);
+    forward and rel-grad must match the default layout."""
+    from ultra_tpu.ops.rspmm_pallas_v2 import (
+        build_plan_v2, rspmm_v2_drel, rspmm_v2_fwd,
+    )
+
+    ei, et, ew, rel, x = make_inputs(rng, v=50, r=6, e=250, b=1, d=64)
+    v, e = x.shape[0], ei.shape[1]
+    rel2, x2 = rel.reshape(rel.shape[0], -1), x.reshape(v, -1)
+    w_ext = jnp.concatenate([jnp.asarray(ew), jnp.zeros(1, jnp.float32)])
+    grad = jnp.asarray(rng.normal(size=x2.shape).astype(np.float32))
+    for sort_slots in (False, True):
+        got = []
+        for src_sort in (False, True):
+            plan = build_plan_v2(ei, et, v, rel.shape[0], chunk=64,
+                                 sort_slots=sort_slots, dead_slot=e,
+                                 src_sort=src_sort)
+            out = rspmm_v2_fwd(plan, jnp.asarray(rel2), jnp.asarray(x2),
+                               w_ext, mul="mul", out_rows=v)
+            drel = rspmm_v2_drel(plan, jnp.asarray(x2), grad, w_ext,
+                                 rel.shape[0])
+            got.append((np.asarray(out), np.asarray(drel)))
+        np.testing.assert_allclose(got[1][0], got[0][0], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got[1][1], got[0][1], rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("sum_op,mul_op", [("max", "mul"), ("min", "add")])
 def test_minmax_gradients_dispatch_v2(rng, sum_op, mul_op, monkeypatch):
     """VERDICT r2 #4: min/max VJPs must run the v2 gather+fold kernels when

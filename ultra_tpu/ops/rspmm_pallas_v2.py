@@ -201,6 +201,7 @@ def build_plan_v2(
     sort_slots: bool = True,
     table_budget: float = 0.5,  # max table rows as a fraction of E_pad
     rel_gather: bool = False,
+    src_sort: bool = False,
 ) -> PlanV2:
     """Lay out edges dst-major (clustered order), pad per dst to multiples
     of FOLD and per compact block to multiples of ALIGN, group chunks
@@ -244,8 +245,14 @@ def build_plan_v2(
     n1 = e_pad // FOLD                         # slot rows the fold emits
     k2 = e_pad // ALIGN                        # flush groups (k == k2*ALIGN/chunk)
 
-    # scatter live edges into their slots (dst-major, per-dst type-sorted)
-    order = np.lexsort((et, rank[dst]))
+    # scatter live edges into their slots (dst-major, per-dst type-sorted).
+    # ``src_sort`` adds a source-row tiebreak (and a per-slot min-src slot
+    # tiebreak below): same dst runs, same type windows, but gather indices
+    # become locally monotonic — a probe for XLA-gather DRAM locality.
+    if src_sort:
+        order = np.lexsort((src, et, rank[dst]))
+    else:
+        order = np.lexsort((et, rank[dst]))
     within_dst = np.arange(e) - np.repeat(np.cumsum(deg_p) - deg_p, deg_p)
     pos = dst_start[rank[dst][order]] + within_dst
     src_p = np.zeros(e_pad, np.int64)
@@ -278,7 +285,11 @@ def build_plan_v2(
         slot_types = np.where(live, types_p, np.int64(1 << 40)).reshape(n1, FOLD)
         slot_key = slot_types.min(axis=1)          # pads sort last
         slot_blk = np.repeat(np.arange(n_blk), blk_padded // FOLD)
-        slot_order = np.lexsort((slot_key, slot_blk))
+        if src_sort:
+            slot_src = np.where(live, src_p, np.int64(1 << 40)).reshape(n1, FOLD)
+            slot_order = np.lexsort((slot_src.min(axis=1), slot_key, slot_blk))
+        else:
+            slot_order = np.lexsort((slot_key, slot_blk))
         edge_perm = (slot_order[:, None] * FOLD +
                      np.arange(FOLD)[None, :]).ravel()
         src_p, types_p = src_p[edge_perm], types_p[edge_perm]
