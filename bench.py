@@ -100,9 +100,15 @@ def build(kind):
     try_dead = os.environ.get("BENCH_TRY_W3", "0") == "1"
     if try_dead:
         os.environ["ULTRA_V2_RELGATHER"] = "1"
+    # uniform graphs attach the sum-only plan layout (sort_slots=True):
+    # that is what every shipped sum/mean config gets via prepare_graph,
+    # and it unlocks the planner's table-width auto-escalation (the global
+    # 480-row table loses 15% — output/r4/uniform_tw3.log). realistic keeps
+    # sort_slots=False because its v2 plan also serves the v2max timing.
     graph = attach_plans(
         graph, rb=V1_RB, chunk=V1_CHUNK, v2_chunk=V2_CHUNK, host_edges=host,
         w3=try_dead and os.environ.get("ULTRA_W3", "1") != "0",
+        v2_sort_slots=(kind == "uniform"),
     )
     if try_dead:  # scope to this attach: the e2e rel-graph attach must not
         os.environ.pop("ULTRA_V2_RELGATHER", None)  # inherit a dead kernel
@@ -114,6 +120,7 @@ def build(kind):
         "v2_chunk": V2_CHUNK, "v2_e_pad": p2.e_pad,
         "v2_pad_waste": round(p2.e_pad / e_live, 3),
         "v2_table_width": p2.tw, "v2_table_groups": p2.n_groups,
+        "v2_sorted_slots": p2.sorted_slots,
         "plan_build_s": round(time.perf_counter() - t0, 1),
     }
     if graph.plans.w3 is not None:

@@ -93,3 +93,7 @@ def feasibility_floor():
 if __name__ == "__main__":
     feasibility_floor()
     main()
+# NOTE (round 4): single min-of-3 slope readings from this script can be
+# FAST-BIASED (an overlong n=1 run deflates the slope and min() selects
+# it — the 3.08 ms/177 M tw=352 reading did not reproduce). Use
+# exp_uniform_tw3.py's interleaved medians for decisions.

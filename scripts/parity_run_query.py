@@ -100,7 +100,10 @@ def main():
         try:
             ds = instantiate_query(name, version, args.root).load()
             (_, _), (_, _), (lo, hi) = ds.split_ranges()
-            graph = prepare_query_graph(ds.graphs[2])
+            from ultra_tpu.models.nbfnet import sum_only_aggregators
+
+            graph = prepare_query_graph(
+                ds.graphs[2], v2_sort_slots=sum_only_aggregators(ultra_cfg))
             m = evaluate_queries(
                 params, ultra_cfg, qcfg, graph, ds, np.arange(lo, hi),
                 batch_size=args.bs, metric_names=("mrr", "hits@10"),

@@ -47,7 +47,9 @@ def main():
         else init_ultra_params(ultra_cfg, jax.random.key(args.seed))
     )
 
-    graphs = PretrainGraphs(datasets)
+    from ultra_tpu.models.nbfnet import sum_only_aggregators
+
+    graphs = PretrainGraphs(datasets, v2_sort_slots=sum_only_aggregators(ultra_cfg))
     params = pretrain(cfg, ultra_cfg, params, graphs, workdir, seed=args.seed)
     ckpt_lib.save_pytree(os.path.join(workdir, "model_final"), {"params": params})
     logger.warning("saved final model to %s", workdir)

@@ -58,8 +58,11 @@ def main():
     root = os.path.expanduser(ds_cfg.pop("root", "./query-datasets"))
     dataset = build_query_dataset(name, root, **ds_cfg).load()
 
+    from ultra_tpu.models.nbfnet import sum_only_aggregators
+
     model_cfg = cfg["model"]
     ultra_cfg = runner.model_config_from_dict(model_cfg["model"])
+    sort_v2 = sum_only_aggregators(ultra_cfg)
     qcfg = QueryConfig(
         logic=model_cfg.get("logic", "product"),
         threshold=float(model_cfg.get("threshold") or 0.0),
@@ -78,14 +81,14 @@ def main():
         # JointQueryDataset mixture: multigraph pretraining, per-member eval
         from ultra_tpu.query.pretrain import QueryPretrainGraphs, pretrain_queries
 
-        graphs = QueryPretrainGraphs(dataset)
+        graphs = QueryPretrainGraphs(dataset, v2_sort_slots=sort_v2)
         params = pretrain_queries(
             cfg, ultra_cfg, qcfg, params, graphs, workdir, seed=args.seed
         )
         batch_size = int(cfg["train"].get("batch_size", 8))
         for gi, member in enumerate(dataset):
             (_, _), (_, _), (lo, hi) = member.split_ranges()
-            graph = prepare_query_graph(member.graphs[2])
+            graph = prepare_query_graph(member.graphs[2], v2_sort_slots=sort_v2)
             m = evaluate_queries(
                 params, ultra_cfg, qcfg, graph, member, np.arange(lo, hi),
                 batch_size=batch_size,
@@ -102,7 +105,10 @@ def main():
     ranges = dataset.split_ranges()
     batch_size = int(cfg["train"].get("batch_size", 8))
     for split, (lo, hi) in zip(("valid", "test"), ranges[1:]):
-        graph = prepare_query_graph(dataset.graphs[("train", "valid", "test").index(split)])
+        graph = prepare_query_graph(
+            dataset.graphs[("train", "valid", "test").index(split)],
+            v2_sort_slots=sort_v2,
+        )
         m = evaluate_queries(
             params, ultra_cfg, qcfg, graph, dataset, np.arange(lo, hi),
             batch_size=batch_size, metric_names=cfg["task"].get("metric", ("mrr",)),

@@ -75,7 +75,10 @@ def main():
             name, kwargs = target, {}
         dataset = build_query_dataset(name, args.root, **kwargs).load()
         (_, _), (_, _), (lo, hi) = dataset.split_ranges()
-        graph = prepare_query_graph(dataset.graphs[2])
+        from ultra_tpu.models.nbfnet import sum_only_aggregators
+
+        graph = prepare_query_graph(
+            dataset.graphs[2], v2_sort_slots=sum_only_aggregators(ultra_cfg))
         t0 = time.time()
         m = evaluate_queries(
             params, ultra_cfg, qcfg, graph, dataset, np.arange(lo, hi),

@@ -55,8 +55,8 @@ def test_train_with_plans_single_trace(tmp_path):
 
     orig = T.prepare_query_graph
     try:
-        T.prepare_query_graph = lambda qg, rel_pad_to=None, with_plans=None: orig(
-            qg, rel_pad_to, with_plans=True
+        T.prepare_query_graph = lambda qg, rel_pad_to=None, with_plans=None, **kw: orig(
+            qg, rel_pad_to, with_plans=True, **kw
         )
         out = train_queries(run_cfg, cfg, qcfg, params, ds, str(tmp_path), seed=0)
     finally:

@@ -373,6 +373,82 @@ def test_pad_plan_v2_preserves_results(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_build_plan_v2_tw_auto_escalation(rng):
+    """When the requested table width can't hold some single chunk's
+    distinct types (uniform histograms), the planner escalates once to the
+    feasibility floor round_up(max per-chunk distinct, 8) instead of
+    jumping to the global r_pad-row table (measured 7-15% faster across
+    fwd/d_x/d_rel on chip — output/r4/uniform_tw3.log); results must match
+    the global-table layout."""
+    from ultra_tpu.ops.rspmm_pallas_v2 import (
+        build_plan_v2, rspmm_v2_drel, rspmm_v2_fwd,
+    )
+
+    r = 100  # r_pad = 104
+    ei, et, ew, rel, x = make_inputs(rng, v=50, r=r, e=3000, b=1, d=64)
+    v, e = x.shape[0], ei.shape[1]
+    rel2, x2 = rel.reshape(rel.shape[0], -1), x.reshape(v, -1)
+    w_ext = jnp.concatenate([jnp.asarray(ew), jnp.zeros(1, jnp.float32)])
+    grad = jnp.asarray(rng.normal(size=x2.shape).astype(np.float32))
+
+    esc = build_plan_v2(ei, et, v, r, chunk=64, tw=8, dead_slot=e)
+    glob = build_plan_v2(ei, et, v, r, chunk=64, cluster=False, dead_slot=e)
+    assert glob.tw == 104 and glob.n_groups == 1
+    assert 8 < esc.tw < glob.tw and esc.tw % 8 == 0, esc.tw
+    assert esc.n_groups > 1
+
+    got = []
+    for plan in (esc, glob):
+        out = rspmm_v2_fwd(plan, jnp.asarray(rel2), jnp.asarray(x2), w_ext,
+                           mul="mul", out_rows=v)
+        drel = rspmm_v2_drel(plan, jnp.asarray(x2), grad, w_ext, r)
+        got.append((np.asarray(out), np.asarray(drel)))
+    np.testing.assert_allclose(got[0][0], got[1][0], rtol=1e-5, atol=1e-6)
+    # drel accumulates in a different group order -> f32 rounding noise
+    np.testing.assert_allclose(got[0][1], got[1][1], rtol=5e-4, atol=1e-5)
+
+
+def test_build_plan_v2_tw_escalation_acceptance_gate(rng, monkeypatch):
+    """Escalated widths whose total table rows exceed TW_ACCEPT * e_pad
+    must fall back to the global table (measured: 0.31*e_pad of tables
+    LOSES 13% to the global layout — output/r4/bench_autotw.log)."""
+    from ultra_tpu.ops import rspmm_pallas_v2 as v2mod
+
+    r = 100
+    ei, et, ew, rel, x = make_inputs(rng, v=50, r=r, e=3000, b=1, d=64)
+    e = ei.shape[1]
+    monkeypatch.setattr(v2mod, "TW_ACCEPT", 0.001)
+    plan = v2mod.build_plan_v2(ei, et, x.shape[0], r, chunk=64, tw=8,
+                               dead_slot=e)
+    assert plan.tw == 104 and plan.n_groups == 1  # global fallback
+
+
+def test_attach_plans_v2_sort_slots_minmax_fallback(rng):
+    """attach_plans(v2_sort_slots=True) (sum/mean-only models) marks the
+    v2 plans sorted; min/max ops must then dispatch to the v1 kernel and
+    stay correct (sorted fold slots break the min/max scan segments)."""
+    from ultra_tpu.ops.rspmm_pallas import _minmax_v2_eligible
+
+    ei, et, ew, rel, x = make_inputs(rng, v=40, r=6, e=200, b=1, d=64)
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0],
+                       pad_to=256)
+    graph = attach_plans(graph, rb=64, chunk=64, v2_sort_slots=True)
+    assert graph.plans.v2.sorted_slots and graph.plans.v2src.sorted_slots
+    assert not _minmax_v2_eligible(graph.plans, 64)
+
+    out = rspmm_from_graph(graph, jnp.asarray(rel), jnp.asarray(x),
+                           sum="max", mul="mul")
+    ref = generalized_rspmm(
+        jnp.asarray(ei), jnp.asarray(et), jnp.asarray(ew), jnp.asarray(rel),
+        jnp.asarray(x), sum="max", mul="mul", backend="xla",
+    )
+    o, r_ = np.asarray(out), np.asarray(ref)
+    fin = np.isfinite(r_)
+    assert (np.isfinite(o) == fin).all()
+    np.testing.assert_allclose(o[fin], r_[fin], rtol=2e-3, atol=2e-3)
+
+
 def test_build_plan_v2_src_sort_preserves_results(rng):
     """``src_sort`` adds a source-row tiebreak to the edge order and a
     min-src tiebreak to the slot order (a gather-DRAM-locality lever);

@@ -891,6 +891,7 @@ def split_to_graph(
     plan_rb=None,
     plan_chunk: int = 128,
     pad_rel_edges_bucket: Optional[int] = None,
+    v2_sort_slots: bool = False,
 ):
     """KGSplit -> device Graph with relation graph (and optional Pallas
     plans) attached.
@@ -941,6 +942,7 @@ def split_to_graph(
             host_edges=host_padded(
                 split.edge_index, split.edge_type, graph.num_edges_padded
             ),
+            v2_sort_slots=v2_sort_slots,
         )
         graph = graph.replace(relation_graph=rel_graph)
     return graph

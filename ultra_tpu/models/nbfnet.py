@@ -89,6 +89,18 @@ class UltraConfig:
     )
 
 
+def sum_only_aggregators(cfg: UltraConfig) -> bool:
+    """True when no sub-model needs the min/max rspmm kernels (sum/mean
+    aggregation only — the flagship ultra_3g/4g configs). Such models can
+    attach sort_slots=True v2 plans, whose lower per-chunk distinct-type
+    floor lets the planner's table-width auto-escalation beat the global
+    relation table on uniform histograms (rspmm_pallas.attach_plans)."""
+    return all(
+        m.aggregate_func in ("sum", "mean")
+        for m in (cfg.relation_model, cfg.entity_model)
+    )
+
+
 def scatter_boundary(h_index: jax.Array, query: jax.Array, num_nodes: int) -> jax.Array:
     """(V, B, D) boundary: query[b] scatter-added onto node h_index[b].
 

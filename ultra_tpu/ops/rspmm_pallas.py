@@ -1100,17 +1100,24 @@ def build_sharded_plans(
     # table widths rebuild unclustered so ``tw`` matches everywhere.
     from ultra_tpu.ops import rspmm_pallas_v2 as v2mod
 
-    def build_v2(gids, cluster=True, swap=False):
+    def build_v2(gids, cluster=True, swap=False, tw=128):
         e = ei[::-1] if swap else ei
         return v2mod.build_plan_v2(
             e[:, gids], et[gids], graph.num_nodes, graph.num_relations,
             chunk=1024, edge_ids=gids, dead_slot=dead,
-            cluster=cluster, sort_slots=False,
+            cluster=cluster, sort_slots=False, tw=tw,
         )
 
+    r_pad_v2 = max(_round_up(graph.num_relations, 8), 8)
     for swap, attr in ((False, "v2"), (True, "v2src")):
         plans2 = [build_v2(g, swap=swap) for g in groups]
-        if len({p.tw for p in plans2}) > 1:
+        tws = {p.tw for p in plans2}
+        if len(tws) > 1 and max(tws) < r_pad_v2:
+            # shards escalated to different feasibility floors: the max
+            # width clusters on every shard (each shard's floor <= it)
+            plans2 = [build_v2(g, swap=swap, tw=max(tws)) for g in groups]
+            tws = {p.tw for p in plans2}
+        if len(tws) > 1:
             plans2 = [build_v2(g, cluster=False, swap=swap) for g in groups]
         e_pad_t = max(p.e_pad for p in plans2)
         ng_t = max(p.n_groups for p in plans2)
@@ -1161,7 +1168,8 @@ def pad_plan(plan: PallasPlan, k_target: int, dead_slot: int) -> PallasPlan:
 
 def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=None,
                  pad_chunks_to=None, v2: bool = True, v2_chunk: int = 1024,
-                 w3: Optional[bool] = None, w3_window: int = 1024):
+                 w3: Optional[bool] = None, w3_window: int = 1024,
+                 v2_sort_slots: bool = False):
     """Build GraphPlans from a Graph's live edges and attach them.
 
     The plan permutation indexes the graph's full padded edge-weight vector
@@ -1200,17 +1208,23 @@ def attach_plans(graph, rb: Optional[int] = None, chunk: int = 128, host_edges=N
 
         # sort_slots=False keeps each dst's edges contiguous so the same
         # plan serves the sum AND min/max kernels; at the default chunk
-        # (1024) slot sorting does not change the table stats anyway (the
-        # dst-signature clustering does the work).
+        # (1024) slot sorting does not change the table stats on CLUSTERED
+        # (zipf/schema) graphs. ``v2_sort_slots=True`` is for sum/mean-only
+        # models (the flagship ultra_3g config): min-type slot sorting
+        # within blocks lowers the per-chunk distinct-type floor so the
+        # planner's auto-width escalation can beat the global table on
+        # uniform relation histograms (+15% fwd, output/r4/uniform_tw3.log);
+        # min/max ops on such a plan safely fall back to the v1 kernel
+        # (_minmax_v2_eligible checks sorted_slots).
         plan2 = build_plan_v2(
             ei[:, live], et[live], graph.num_nodes, graph.num_relations,
             chunk=v2_chunk, edge_ids=live, dead_slot=graph.num_edges_padded,
-            sort_slots=False,
+            sort_slots=v2_sort_slots,
         )
         plan2s = build_plan_v2(
             ei[::-1][:, live], et[live], graph.num_nodes, graph.num_relations,
             chunk=v2_chunk, edge_ids=live, dead_slot=graph.num_edges_padded,
-            sort_slots=False,
+            sort_slots=v2_sort_slots,
         )
         plans = plans.replace(v2=plan2, v2src=plan2s)
         import os as _osmod

@@ -71,6 +71,10 @@ ALIGN = 1024  # edge-layout block alignment = one flush group (128 slots)
 import os as _os
 
 SLICE_BYTES = int(float(_os.environ.get("ULTRA_V2_SLICE_BYTES", "1e9")))
+# Auto-escalated table widths (uniform histograms) are accepted only while
+# total table rows stay under this fraction of the edge stream — above it
+# the table DMA outweighs the narrower select (measured, _group_tables).
+TW_ACCEPT = float(_os.environ.get("ULTRA_V2_TW_ACCEPT", "0.12"))
 
 
 def _vmem_limit_kw():
@@ -143,28 +147,57 @@ def _type_signatures(dst: np.ndarray, et: np.ndarray, num_nodes: int):
 def _group_tables(types_c, live_c, tw, r_pad, e_pad, cluster, table_budget):
     """Greedy run-grouping of chunks under shared TW-row relation tables
     (chunks in layout order accumulate their live type sets until a group
-    would exceed tw). Falls back to one global full-width table when
-    clustering fails (uniform histograms) or is disabled. Returns
+    would exceed tw). When the requested width fails (some single chunk's
+    distinct-type count exceeds tw — uniform histograms), auto-escalates
+    ONCE to the feasibility floor round_up(max per-chunk distinct, 8)
+    before falling back to one global full-width table: on the uniform
+    bench graph the floor width (352 vs the 480 global) wins 7-15% across
+    fwd/d_x/d_rel (output/r4/uniform_tw3.log). Returns
     (tw, n_groups, group_id (K,), table_ids (n_groups*tw,), type_local)."""
     k, chunk = types_c.shape
-    groups, tables = [], []
-    cur: set = set()
-    cur_start = 0
-    for ck in range(k):
-        t = set(np.unique(types_c[ck][live_c[ck]]).tolist())
-        if len(cur | t) > tw and cur:
+    chunk_types = [
+        set(np.unique(types_c[ck][live_c[ck]]).tolist()) for ck in range(k)
+    ]
+
+    def greedy(width):
+        groups, tables = [], []
+        cur: set = set()
+        cur_start = 0
+        for ck, t in enumerate(chunk_types):
+            if len(cur | t) > width and cur:
+                tables.append(sorted(cur))
+                groups.append((cur_start, ck))
+                cur, cur_start = set(t), ck
+            else:
+                cur |= t
+        if k:
             tables.append(sorted(cur))
-            groups.append((cur_start, ck))
-            cur, cur_start = set(t), ck
-        else:
-            cur |= t
-    if k:
-        tables.append(sorted(cur))
-        groups.append((cur_start, k))
+            groups.append((cur_start, k))
+        return groups, tables
+
+    def fails(width, tables):
+        too_wide = any(len(tab) > width for tab in tables)
+        return too_wide or len(tables) * width > table_budget * e_pad
+
+    groups, tables = greedy(tw)
+    if cluster and fails(tw, tables):
+        floor = max((len(t) for t in chunk_types), default=0)
+        tw2 = max(_round_up(floor, 8), 8)
+        if tw < tw2 < r_pad:
+            g2, t2 = greedy(tw2)
+            # acceptance gate: the narrow tables must stay cheap relative
+            # to the edge stream, or their DMA outweighs the select saving
+            # (measured: 141 groups x 352 rows = 0.08*e_pad wins +15%;
+            # 440 x 432 = 0.31*e_pad LOSES 13% — output/r4/uniform_tw3.log
+            # vs bench_autotw.log). sort_slots=True layouts have low
+            # floors and pass; unsorted layouts on uniform histograms
+            # fail and keep the global table.
+            if (not fails(tw2, t2)
+                    and len(t2) * tw2 <= TW_ACCEPT * e_pad):
+                tw, groups, tables = tw2, g2, t2
 
     n_groups = len(tables)
-    too_wide = any(len(tab) > tw for tab in tables)  # one chunk alone > tw
-    if too_wide or n_groups * tw > table_budget * e_pad or not cluster:
+    if fails(tw, tables) or not cluster:
         # clustering failed (or disabled): one global full-width table
         tw = r_pad
         n_groups = 1

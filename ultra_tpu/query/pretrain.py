@@ -52,10 +52,16 @@ class QueryPretrainGraphs:
     batch (a mixture of N large members would otherwise pay all N costs up
     front, most wasted when few members dominate the sampling probs)."""
 
-    def __init__(self, datasets: Sequence[QueryDataset]):
+    def __init__(self, datasets: Sequence[QueryDataset], v2_sort_slots: bool = False):
         self.datasets = list(datasets)
-        self.base_graphs = [prepare_query_graph(d.graphs[0]) for d in self.datasets]
-        self.valid_graphs = [prepare_query_graph(d.graphs[1]) for d in self.datasets]
+        self.base_graphs = [
+            prepare_query_graph(d.graphs[0], v2_sort_slots=v2_sort_slots)
+            for d in self.datasets
+        ]
+        self.valid_graphs = [
+            prepare_query_graph(d.graphs[1], v2_sort_slots=v2_sort_slots)
+            for d in self.datasets
+        ]
         self.hosts = []
         self._planners: List[Optional[DropoutPlanner]] = [None] * len(self.datasets)
         for d, g in zip(self.datasets, self.base_graphs):

@@ -80,7 +80,8 @@ def _variant_tracker(name: str):
 
 
 def prepare_query_graph(
-    qg: QueryGraph, rel_pad_to: Optional[int] = None, with_plans: Optional[bool] = None
+    qg: QueryGraph, rel_pad_to: Optional[int] = None,
+    with_plans: Optional[bool] = None, v2_sort_slots: bool = False,
 ) -> Graph:
     """QueryGraph -> device Graph (+ relation graph). Query graphs already
     contain inverse relations — no augmentation (datasets_query.py:103-109).
@@ -127,6 +128,7 @@ def prepare_query_graph(
         graph = attach_plans(
             graph,
             host_edges=host_padded(qg.edge_index, qg.edge_type, graph.num_edges_padded),
+            v2_sort_slots=v2_sort_slots,
         )
         graph = graph.replace(relation_graph=rel_graph)
     return graph
@@ -585,8 +587,11 @@ def train_queries(
     adv_temp = float(task_cfg.get("adversarial_temperature", 0.2))
     fast_test = train_cfg.get("fast_test")
 
+    from ultra_tpu.models.nbfnet import sum_only_aggregators
+
+    sort_v2 = sum_only_aggregators(ultra_cfg)
     qg_train = dataset.graphs[0]
-    base_graph = prepare_query_graph(qg_train)
+    base_graph = prepare_query_graph(qg_train, v2_sort_slots=sort_v2)
     rel_pad = base_graph.relation_graph.num_edges_padded
     graph_host = {
         "edge_index": qg_train.edge_index,
@@ -596,7 +601,7 @@ def train_queries(
         "e_pad": base_graph.num_edges_padded,
         "inverse_rel_plus_one": qg_train.inverse_rel_plus_one,
     }
-    valid_graph = prepare_query_graph(dataset.graphs[1])
+    valid_graph = prepare_query_graph(dataset.graphs[1], v2_sort_slots=sort_v2)
     # fast dropout path: per-round relation-graph edits become weight masks
     # over base_graph.relation_graph (one shared Pallas plan / jit trace)
     planner = DropoutPlanner(graph_host)

@@ -65,8 +65,12 @@ class UltraPredictor:
         from ultra_tpu.utils.ckpt import load_model_checkpoint
 
         params = load_model_checkpoint(ckpt_path)
-        graph = split_to_graph(split, with_plans=with_plans)
-        return cls(params, cfg or UltraConfig(), graph, **kw)
+        from ultra_tpu.models.nbfnet import sum_only_aggregators
+
+        cfg = cfg or UltraConfig()
+        graph = split_to_graph(split, with_plans=with_plans,
+                               v2_sort_slots=sum_only_aggregators(cfg))
+        return cls(params, cfg, graph, **kw)
 
     def predict_tails(self, h: Sequence[int], r: Sequence[int], k: int = 10):
         """Returns (scores (N, k), tail ids (N, k)); batches internally."""

@@ -35,10 +35,17 @@ logger = logging.getLogger("ultra_tpu")
 class PretrainGraphs:
     """Per-member-graph state: device graphs, host indexes, triples."""
 
-    def __init__(self, datasets: Sequence[kg.KGDataset], with_plans: Optional[bool] = None):
+    def __init__(self, datasets: Sequence[kg.KGDataset], with_plans: Optional[bool] = None,
+                 v2_sort_slots: bool = False):
         self.datasets = list(datasets)
-        self.train_graphs = [prepare_graph(d.train, with_plans) for d in datasets]
-        self.valid_graphs = [prepare_graph(d.valid, with_plans) for d in datasets]
+        self.train_graphs = [
+            prepare_graph(d.train, with_plans, v2_sort_slots=v2_sort_slots)
+            for d in datasets
+        ]
+        self.valid_graphs = [
+            prepare_graph(d.valid, with_plans, v2_sort_slots=v2_sort_slots)
+            for d in datasets
+        ]
         self.train_indexes = [
             tasks.GraphIndex.build(
                 d.train.edge_index, d.train.edge_type, d.train.num_nodes, d.train.num_relations

@@ -71,7 +71,8 @@ def use_pallas_default() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def prepare_graph(split: kg.KGSplit, with_plans: Optional[bool] = None) -> Graph:
+def prepare_graph(split: kg.KGSplit, with_plans: Optional[bool] = None,
+                  v2_sort_slots: bool = False) -> Graph:
     if with_plans is None:
         with_plans = use_pallas_default()
     e = split.edge_index.shape[1]
@@ -83,6 +84,7 @@ def prepare_graph(split: kg.KGSplit, with_plans: Optional[bool] = None) -> Graph
         pad_edges_to=pad_bucket(e, 2048),
         pad_rel_edges_bucket=1024,
         with_plans=with_plans,
+        v2_sort_slots=v2_sort_slots,
     )
 
 
@@ -276,10 +278,13 @@ def run_link_prediction(
         else init_ultra_params(ultra_cfg, jax.random.key(seed))
     )
 
+    from ultra_tpu.models.nbfnet import sum_only_aggregators
+
+    sort_v2 = sum_only_aggregators(ultra_cfg)
     graphs = {
-        "train": prepare_graph(dataset.train, with_plans),
-        "valid": prepare_graph(dataset.valid, with_plans),
-        "test": prepare_graph(dataset.test, with_plans),
+        "train": prepare_graph(dataset.train, with_plans, v2_sort_slots=sort_v2),
+        "valid": prepare_graph(dataset.valid, with_plans, v2_sort_slots=sort_v2),
+        "test": prepare_graph(dataset.test, with_plans, v2_sort_slots=sort_v2),
     }
     task_name = cfg["task"].get("name", "TransductiveInference")
     filtered = build_filtered_index(dataset, ds_name, task_name)
