@@ -449,6 +449,48 @@ def test_attach_plans_v2_sort_slots_minmax_fallback(rng):
     np.testing.assert_allclose(o[fin], r_[fin], rtol=2e-3, atol=2e-3)
 
 
+def test_sharded_plans_unify_escalated_widths(rng):
+    """build_sharded_plans: when shards' auto-escalated table widths
+    differ (one shard clusters at the requested width, another escalates
+    to its feasibility floor), all shards rebuild at max(tw) so the
+    stacked plan keeps one static shape — and the per-shard partials must
+    still sum to the full forward."""
+    from ultra_tpu.graph import make_graph
+    from ultra_tpu.ops.rspmm_pallas import build_sharded_plans
+    from ultra_tpu.ops.rspmm_pallas_v2 import rspmm_v2_fwd
+
+    v, r, e = 80, 200, 4096  # r_pad = 200
+    ei = rng.integers(0, v, size=(2, e)).astype(np.int32)
+    # first half: 10 relation types (clusters at tw=128); second half:
+    # ~140 uniform types (floor ~144 -> escalates past the requested 128)
+    et = np.concatenate([
+        rng.integers(0, 10, size=e // 2),
+        rng.integers(0, 140, size=e // 2),
+    ]).astype(np.int32)
+    graph = make_graph(ei, et, num_nodes=v, num_relations=r, pad_to=e)
+    host = (ei.astype(np.int64), et.astype(np.int64), np.ones(e, np.float32))
+    graph = build_sharded_plans(graph, 2, rb=32, chunk=32, host_edges=host)
+
+    p2 = graph.plans.v2
+    assert p2.src_p.ndim == 2  # stacked (shard, E_pad)
+    assert 128 < p2.tw < 200, p2.tw  # unified at the escalated floor
+
+    f = 64
+    x = jnp.asarray(rng.normal(size=(v, f)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(size=(r, f)).astype(np.float32))
+    w_ext = jnp.concatenate([jnp.ones(e, jnp.float32),
+                             jnp.zeros(1, jnp.float32)])
+    total = sum(
+        rspmm_v2_fwd(jax.tree.map(lambda a, i=i: a[i], p2), rel, x, w_ext,
+                     mul="mul", out_rows=v)
+        for i in range(2)
+    )
+    oracle = np.zeros((v, f), np.float64)
+    np.add.at(oracle, ei[0],
+              np.asarray(x, np.float64)[ei[1]] * np.asarray(rel, np.float64)[et])
+    np.testing.assert_allclose(np.asarray(total), oracle, rtol=2e-4, atol=2e-4)
+
+
 def test_build_plan_v2_src_sort_preserves_results(rng):
     """``src_sort`` adds a source-row tiebreak to the edge order and a
     min-src tiebreak to the slot order (a gather-DRAM-locality lever);
