@@ -131,6 +131,34 @@ def build(kind):
     return graph, stats
 
 
+def _clqa_mixed_batch(rng, v, r, length=9):
+    """One query per BetaE structure (14 total), padded postfix programs —
+    the mixed-batch shape of scripts/exp_grouped_exec.py."""
+    from ultra_tpu.query import ops
+
+    e = lambda: int(rng.integers(0, v))  # noqa: E731
+    rr = lambda: ops.PROJECTION | int(rng.integers(0, r))  # noqa: E731
+    I2, U2, N = ops.INTERSECTION | 2, ops.UNION | 2, ops.NEGATION
+    qs = [
+        [e(), rr()],                                  # 1p
+        [e(), rr(), rr()],                            # 2p
+        [e(), rr(), rr(), rr()],                      # 3p
+        [e(), rr(), e(), rr(), I2],                   # 2i
+        [e(), rr(), e(), rr(), I2, e(), rr(), I2],    # 3i
+        [e(), rr(), e(), rr(), I2, rr()],             # ip
+        [e(), rr(), rr(), e(), rr(), I2],             # pi
+        [e(), rr(), e(), rr(), N, I2],                # 2in
+        [e(), rr(), e(), rr(), I2, e(), rr(), N, I2][:8],  # 3in (trunc pad)
+        [e(), rr(), e(), rr(), N, I2, rr()],          # inp
+        [e(), rr(), rr(), e(), rr(), N, I2],          # pin
+        [e(), rr(), rr(), N, e(), rr(), I2],          # pni
+        [e(), rr(), e(), rr(), U2],                   # 2u
+        [e(), rr(), e(), rr(), U2, rr()],             # up
+    ]
+    qs = [np.asarray(q + [ops.STOP], np.int64) for q in qs]
+    return ops.pad_queries(qs, length)
+
+
 _PROBE = (
     "import os;"
     "os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',"
@@ -381,6 +409,46 @@ def main():
                 extra["finetune_step_ms"] = round(tms, 1)
             except Exception as exc:  # noqa: BLE001
                 log(f"train diagnostic skipped: {type(exc).__name__}: {exc}")
+
+            # CLQA diagnostic: round-grouped executor forward on a mixed
+            # 14-structure query batch (one query per BetaE type), eval
+            # config (no dropout, precomputed relation reprs). One jit
+            # launch per forward; direct warm medians.
+            try:
+                from ultra_tpu.query import ops as qops
+                from ultra_tpu.query.executor import QueryConfig
+                from ultra_tpu.query.trainer import make_query_forward_grouped
+                from ultra_tpu.train.eval import (
+                    precompute_relation_representations,
+                )
+
+                kind, operand = qops.decompose(
+                    _clqa_mixed_batch(np.random.default_rng(3), V,
+                                      2 * R_DIRECT)
+                )
+                qcfg = QueryConfig(dropout_ratio=0.0, threshold=0.8)
+                rel_reprs = precompute_relation_representations(
+                    params, cfg, graph
+                )
+                jax.block_until_ready(rel_reprs)
+                fwd_grp = make_query_forward_grouped(cfg, qcfg)
+                jax.block_until_ready(
+                    fwd_grp(params, graph, kind, operand, rel_reprs)
+                )  # compile warm-up
+                qtimes = []
+                for _ in range(6):
+                    tq = time.perf_counter()
+                    jax.block_until_ready(
+                        fwd_grp(params, graph, kind, operand, rel_reprs)
+                    )
+                    qtimes.append(time.perf_counter() - tq)
+                qmed = float(np.median(qtimes))
+                qps = kind.shape[0] / qmed
+                log(f"CLQA grouped eval fwd (mixed 14-type batch): "
+                    f"{qmed*1e3:.0f} ms = {qps:.0f} q/s")
+                extra["clqa_grouped_eval_qps"] = round(qps, 1)
+            except Exception as exc:  # noqa: BLE001
+                log(f"CLQA diagnostic skipped: {type(exc).__name__}: {exc}")
     except Exception as exc:  # noqa: BLE001
         log(f"e2e diagnostic skipped: {type(exc).__name__}: {exc}")
 
