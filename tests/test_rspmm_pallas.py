@@ -491,6 +491,42 @@ def test_sharded_plans_unify_escalated_widths(rng):
     np.testing.assert_allclose(np.asarray(total), oracle, rtol=2e-4, atol=2e-4)
 
 
+def test_v2_stream_int8_probe(rng, monkeypatch):
+    """ULTRA_V2_STREAM_INT8 (eval-only quantized gather stream): per-row
+    int8 with the scale folded into the edge weight must stay within
+    row-scale quantization error of the exact forward, and must NOT
+    engage for transe (additive messages cannot fold the scale)."""
+    from ultra_tpu.ops import rspmm_pallas_v2 as v2mod
+
+    ei, et, ew, rel, x = make_inputs(rng, v=60, r=9, e=500, b=1, d=64)
+    v, e = x.shape[0], ei.shape[1]
+    rel2, x2 = rel.reshape(rel.shape[0], -1), x.reshape(v, -1)
+    w_ext = jnp.concatenate([jnp.asarray(ew), jnp.zeros(1, jnp.float32)])
+    plan = v2mod.build_plan_v2(ei, et, v, rel.shape[0], chunk=64, dead_slot=e)
+
+    exact = np.asarray(v2mod.rspmm_v2_fwd(plan, jnp.asarray(rel2),
+                                          jnp.asarray(x2), w_ext,
+                                          mul="mul", out_rows=v))
+    monkeypatch.setattr(v2mod, "STREAM_INT8", True)
+    q = np.asarray(v2mod.rspmm_v2_fwd(plan, jnp.asarray(rel2),
+                                      jnp.asarray(x2), w_ext,
+                                      mul="mul", out_rows=v))
+    rel_err = np.abs(q - exact) / (np.abs(exact) + 1e-6)
+    assert np.isfinite(q).all()
+    assert 0 < float(rel_err.mean()) < 0.08, float(rel_err.mean())
+
+    # transe stays exact (gate must not engage)
+    for m in ("add",):
+        a = np.asarray(v2mod.rspmm_v2_fwd(plan, jnp.asarray(rel2),
+                                          jnp.asarray(x2), w_ext,
+                                          mul=m, out_rows=v))
+        monkeypatch.setattr(v2mod, "STREAM_INT8", False)
+        b = np.asarray(v2mod.rspmm_v2_fwd(plan, jnp.asarray(rel2),
+                                          jnp.asarray(x2), w_ext,
+                                          mul=m, out_rows=v))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_build_plan_v2_src_sort_preserves_results(rng):
     """``src_sort`` adds a source-row tiebreak to the edge order and a
     min-src tiebreak to the slot order (a gather-DRAM-locality lever);

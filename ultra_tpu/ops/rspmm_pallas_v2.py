@@ -75,6 +75,10 @@ SLICE_BYTES = int(float(_os.environ.get("ULTRA_V2_SLICE_BYTES", "1e9")))
 # total table rows stay under this fraction of the edge stream — above it
 # the table DMA outweighs the narrower select (measured, _group_tables).
 TW_ACCEPT = float(_os.environ.get("ULTRA_V2_TW_ACCEPT", "0.12"))
+# Eval-only probe: per-row-symmetric int8 gather stream for the sum/mul
+# forward (scale folded into the edge weight). Lossy (~row-scale int8
+# quantization of activations) — measure MRR before shipping results.
+STREAM_INT8 = _os.environ.get("ULTRA_V2_STREAM_INT8", "0") == "1"
 
 
 def _vmem_limit_kw():
@@ -472,13 +476,16 @@ def _fused_kernel(mul_op, rel_gather, c, g, tw, rb2, prec,
     k = pl.program_id(1)
     row = jax.lax.rem(k, 8)          # row within the (8, C) metadata blocks
     nslot = c // FOLD
-    cdt = xe_ref.dtype
+    # compute dtype follows the relation table; the edge stream may arrive
+    # int8 (ULTRA_V2_STREAM_INT8 quantized gather — per-row scales folded
+    # into the weight column host-side) and converts on load
+    cdt = tab_ref.dtype
 
     tl = tl_ref[pl.ds(row, 1), :][0]
     # the (C,) -> (C, 1) reshape must happen in f32 (Mosaic rejects the
     # 1-D bf16 relayout); weights ship as f32 rows for the same reason
     wcol = w_ref[pl.ds(row, 1), :][0][:, None].astype(cdt)
-    xe = xe_ref[:]
+    xe = xe_ref[:].astype(cdt)
     if rel_gather:
         # same-shape in-kernel gather from the resident relation window
         idxr = jnp.broadcast_to(tl[:, None], (c, tab_ref.shape[1]))
@@ -568,19 +575,36 @@ def rspmm_v2_fwd(
 
     r_pad = max(_round_up(relation.shape[0], 8), 8)
     rel_pad = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
-    # barrier: materialize the bf16 cast BEFORE the gather so the gather
-    # engine reads 1KB rows, not 2KB f32 rows with a fused cast (measured
-    # ~6% faster, scripts/exp_gather_cast.py)
-    x_e = jnp.take(
-        jax.lax.optimization_barrier(x.astype(stream_dt)), plan.src_p, axis=0
-    )  # (E_pad, F)
+    w_p = jnp.take(edge_weight_ext, plan.perm, axis=0)             # (E_pad,)
+    int8_stream = (
+        STREAM_INT8 and mul == "mul" and prec is None
+        and not plan.rel_gather
+    )
+    if int8_stream:
+        # quantized gather stream probe (eval-only, env-gated): per-row
+        # symmetric int8 halves the stream's HBM write + kernel re-read;
+        # the row scale folds exactly into the edge weight
+        # (x*rel*w == (x/s)*rel*(w*s[src])), so the kernel just converts
+        # int8 -> bf16 on load. mul='mul' only (additive messages cannot
+        # fold the scale).
+        s = jnp.maximum(jnp.max(jnp.abs(x), axis=1), 1e-12) / 127.0  # (V,)
+        xq = jnp.clip(jnp.rint(x / s[:, None]), -127, 127).astype(jnp.int8)
+        x_e = jnp.take(jax.lax.optimization_barrier(xq), plan.src_p, axis=0)
+        w_p = w_p * jnp.take(s, plan.src_p, axis=0)
+    else:
+        # barrier: materialize the bf16 cast BEFORE the gather so the
+        # gather engine reads 1KB rows, not 2KB f32 rows with a fused cast
+        # (measured ~6% faster, scripts/exp_gather_cast.py)
+        x_e = jnp.take(
+            jax.lax.optimization_barrier(x.astype(stream_dt)), plan.src_p,
+            axis=0,
+        )  # (E_pad, F)
     if plan.rel_gather:
         tabs = jnp.pad(
             rel_pad.astype(stream_dt), ((0, plan.tw - r_pad), (0, 0))
         )
     else:
         tabs = jnp.take(rel_pad.astype(stream_dt), plan.table_ids, axis=0)
-    w_p = jnp.take(edge_weight_ext, plan.perm, axis=0)             # (E_pad,)
 
     k, c = plan.num_chunks, plan.chunk
     gsz = ALIGN // c  # chunks per flush group
