@@ -181,3 +181,30 @@ def test_mtdea_limit_vocab(tmp_path):
     # valid graph = train graph (valid_on_inf=False), vocab-sized num_nodes
     assert ds.valid.num_nodes == 3
     np.testing.assert_array_equal(ds.valid.edge_index, ds.train.edge_index)
+
+
+def test_misparse_warning_on_relation_vocab_explosion(tmp_path, caplog):
+    """Swapped columns (h t r written as h r t) mint one relation per
+    entity token; process() must warn so the user catches the mis-parse
+    before the 4*R^2 relation graph grinds the planner (round-4 incident:
+    R=13924 -> 212M rel-graph edges, an hour of plan build)."""
+    import logging
+
+    root = str(tmp_path)
+    raw = os.path.join(root, "swapped", "raw")
+    rng = np.random.default_rng(0)
+    # middle column carries 5000 distinct "tail" tokens -> relation vocab
+    lines = [f"h{rng.integers(50)} t{i} r{rng.integers(3)}"
+             for i in range(5000)]
+    write(os.path.join(raw, "train.txt"), lines)
+    write(os.path.join(raw, "valid.txt"), lines[:5])
+    write(os.path.join(raw, "test.txt"), lines[5:10])
+
+    class Swapped(kg.TransductiveDataset):
+        name = "swapped"
+        urls = ()
+
+    with caplog.at_level(logging.WARNING, logger="ultra_tpu"):
+        ds = Swapped(root).load()
+    assert ds.train.num_relations == 2 * 5000
+    assert any("check col_order" in r.message for r in caplog.records)

@@ -226,6 +226,21 @@ class TransductiveDataset:
         # (datasets.py:298-303: YAGO/Aristo grow vocab in valid/test)
         num_node = test["num_node"]
         num_rel = test["num_relation"]
+        if num_rel > max(num_node, 4096):
+            # almost certainly a mis-parsed file (wrong col_order /
+            # delimiter): every entity token in the relation column mints
+            # a relation, and the relation graph then explodes toward its
+            # 4*R^2 bound (a real instance: swapped columns produced
+            # R=13924, a 212M-edge relation graph, and an hour of plan
+            # build at 60 GB host RSS before anything failed visibly)
+            import logging
+
+            logging.getLogger("ultra_tpu").warning(
+                "dataset %r parsed %d relation types > %d entities — "
+                "check col_order (%r) and delimiter (%r); proceeding, but "
+                "the relation graph may be enormous",
+                self.name, num_rel, num_node, self.col_order, self.delimiter,
+            )
 
         tr_ei, tr_et = _edges(train["triplets"])
         va_ei, va_et = _edges(valid["triplets"])
