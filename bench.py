@@ -131,7 +131,7 @@ def build(kind):
     return graph, stats
 
 
-def _clqa_mixed_batch(rng, v, r, length=9):
+def _clqa_mixed_batch(rng, v, r, length=10):
     """One query per BetaE structure (14 total), padded postfix programs —
     the mixed-batch shape of scripts/exp_grouped_exec.py."""
     from ultra_tpu.query import ops
@@ -148,7 +148,7 @@ def _clqa_mixed_batch(rng, v, r, length=9):
         [e(), rr(), e(), rr(), I2, rr()],             # ip
         [e(), rr(), rr(), e(), rr(), I2],             # pi
         [e(), rr(), e(), rr(), N, I2],                # 2in
-        [e(), rr(), e(), rr(), I2, e(), rr(), N, I2][:8],  # 3in (trunc pad)
+        [e(), rr(), e(), rr(), I2, e(), rr(), N, I2],  # 3in
         [e(), rr(), e(), rr(), N, I2, rr()],          # inp
         [e(), rr(), rr(), e(), rr(), N, I2],          # pin
         [e(), rr(), rr(), N, e(), rr(), I2],          # pni

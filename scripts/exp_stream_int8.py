@@ -55,14 +55,20 @@ def main():
         np.add.at(oracle, ei[0], xs)
 
         for mode in ("bf16", "int8"):
+            # the flag is read at TRACE time only — set it around plan/step
+            # construction and the warmup traces, never inside the step
+            # closure (a runtime toggle there would be a silent no-op after
+            # retrace/caching)
             v2mod.STREAM_INT8 = mode == "int8"
             out = np.asarray(
                 v2mod.rspmm_v2_fwd(p, rel, x, we, mul="mul", out_rows=V),
                 np.float64,
             )
             err = float(np.mean(np.abs(out - oracle) / (np.abs(oracle) + 1e-6)))
-            step = lambda xx, p=p, m=mode: (
-                0.999 * xx + 0.001 * _fwd(v2mod, m, p, rel, xx, we, V)
+            step = lambda xx, p=p: (
+                0.999 * xx
+                + 0.001 * v2mod.rspmm_v2_fwd(p, rel, xx, we, mul="mul",
+                                             out_rows=V)
             )
             c1 = jax.jit(lambda z, s=step: jax.lax.fori_loop(
                 0, 1, lambda i, c: s(c), z))
@@ -84,14 +90,6 @@ def main():
         log(f"[{kind}] {mode}: median {med:.2f} ms "
             f"({e/(med*1e-3)/1e6:.0f} M e/s) | err vs f64 {err:.2e} | "
             f"rounds {['%.2f' % t for t in times]}")
-
-
-def _fwd(v2mod, mode, p, rel, xx, we, v):
-    v2mod.STREAM_INT8 = mode == "int8"
-    try:
-        return v2mod.rspmm_v2_fwd(p, rel, xx, we, mul="mul", out_rows=v)
-    finally:
-        v2mod.STREAM_INT8 = False
 
 
 if __name__ == "__main__":

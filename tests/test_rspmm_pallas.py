@@ -527,6 +527,34 @@ def test_v2_stream_int8_probe(rng, monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+def test_v2_stream_int8_disabled_under_differentiation(rng, monkeypatch):
+    """Setting the eval-only STREAM_INT8 flag in a training process must be
+    a no-op for value_and_grad: the custom-VJP fwd and the d_x backward
+    both pass int8_ok=False, so loss AND grads stay bit-identical to the
+    unquantized run (advisor round-4 finding)."""
+    from ultra_tpu.ops import rspmm_pallas_v2 as v2mod
+
+    ei, et, ew, rel, x = make_inputs(rng, v=60, r=9, e=500, b=1, d=64)
+    v = x.shape[0]
+    graph = make_graph(ei, et, num_nodes=v, num_relations=rel.shape[0],
+                       pad_to=512)
+    graph = attach_plans(graph, rb=32, chunk=64)
+    assert graph.plans.v2 is not None  # the int8 gate lives on the v2 path
+    rel_j, x_j = jnp.asarray(rel), jnp.asarray(x)
+
+    def loss(rel, x):
+        out = rspmm_pallas_sum("mul", v, None, graph.plans, rel, x,
+                               graph.edge_weight)
+        return jnp.sum(jnp.sin(out))
+
+    ref = jax.value_and_grad(loss, argnums=(0, 1))(rel_j, x_j)
+    monkeypatch.setattr(v2mod, "STREAM_INT8", True)
+    quant = jax.value_and_grad(loss, argnums=(0, 1))(rel_j, x_j)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(quant[0]))
+    for a, b in zip(ref[1], quant[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_build_plan_v2_src_sort_preserves_results(rng):
     """``src_sort`` adds a source-row tiebreak to the edge order and a
     min-src tiebreak to the slot order (a gather-DRAM-locality lever);

@@ -1117,6 +1117,17 @@ def build_sharded_plans(
             # width clusters on every shard (each shard's floor <= it)
             plans2 = [build_v2(g, swap=swap, tw=max(tws)) for g in groups]
             tws = {p.tw for p in plans2}
+            # the explicit width bypasses _group_tables' auto-escalation
+            # acceptance gate — re-apply it per shard (table DMA must stay
+            # cheap vs the edge stream; the 0.12-0.5 regime measured ~13%
+            # slower than the global table, output/r4 uniform_tw3 vs
+            # bench_autotw). Any shard over budget -> unclustered everywhere.
+            from ultra_tpu.ops.rspmm_pallas_v2 import TW_ACCEPT
+
+            if any(p.tw < r_pad_v2
+                   and p.n_groups * p.tw > TW_ACCEPT * p.e_pad
+                   for p in plans2):
+                tws = {-1}  # force the unclustered rebuild below
         if len(tws) > 1:
             plans2 = [build_v2(g, cluster=False, swap=swap) for g in groups]
         e_pad_t = max(p.e_pad for p in plans2)
@@ -1275,12 +1286,8 @@ def _flatten(a):  # (N, B, D) -> (N, B*D)
     return a.reshape(a.shape[0], -1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def rspmm_pallas_sum(mul: str, num_nodes: int, precision, plans: GraphPlans,
-                     relation, x, edge_weight):
-    """out[dst] = sum_e w_e * op(rel[type_e], x[src_e]); shapes (V, B, D).
-    ``precision``: None (fast bf16-pass MXU) or 'highest' (exact f32),
-    applied to forward and both gradient kernels."""
+def _sum_impl(mul, num_nodes, precision, plans, relation, x, edge_weight,
+              int8_ok=True):
     shape = x.shape
     w_ext = jnp.concatenate([edge_weight, jnp.zeros((1,), edge_weight.dtype)])
     f = int(np.prod(shape[1:]))
@@ -1297,7 +1304,7 @@ def rspmm_pallas_sum(mul: str, num_nodes: int, precision, plans: GraphPlans,
         out = rspmm_v2_fwd(
             plans.v2rg if plans.v2rg is not None else plans.v2,
             _flatten(relation), _flatten(x), w_ext, mul=mul,
-            out_rows=num_nodes, precision=precision,
+            out_rows=num_nodes, precision=precision, int8_ok=int8_ok,
         )
     else:
         out = rspmm_pallas_fwd(
@@ -1307,8 +1314,21 @@ def rspmm_pallas_sum(mul: str, num_nodes: int, precision, plans: GraphPlans,
     return out.reshape((num_nodes,) + shape[1:])
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def rspmm_pallas_sum(mul: str, num_nodes: int, precision, plans: GraphPlans,
+                     relation, x, edge_weight):
+    """out[dst] = sum_e w_e * op(rel[type_e], x[src_e]); shapes (V, B, D).
+    ``precision``: None (fast bf16-pass MXU) or 'highest' (exact f32),
+    applied to forward and both gradient kernels."""
+    return _sum_impl(mul, num_nodes, precision, plans, relation, x, edge_weight)
+
+
 def _fwd(mul, num_nodes, precision, plans, relation, x, edge_weight):
-    out = rspmm_pallas_sum(mul, num_nodes, precision, plans, relation, x, edge_weight)
+    # int8_ok=False: under differentiation the STREAM_INT8 eval-only probe
+    # must not quantize the primal either — fwd/bwd stay consistent even if
+    # the env flag is set in a training process.
+    out = _sum_impl(mul, num_nodes, precision, plans, relation, x, edge_weight,
+                    int8_ok=False)
     return out, (plans, relation, x, edge_weight)
 
 
@@ -1340,6 +1360,7 @@ def _bwd(mul, num_nodes, precision, res, g):
             plans.v2rgsrc if plans.v2rgsrc is not None else plans.v2src,
             rel_or_ones, g2, w_ext, mul="mul",
             out_rows=x.shape[0], precision=precision,
+            int8_ok=False,  # never quantize gradient streams (eval-only probe)
         ).reshape(shape)
     else:
         d_x = rspmm_pallas_fwd(

@@ -537,8 +537,15 @@ def rspmm_v2_fwd(
     out_rows: Optional[int] = None,
     f_block: int = 512,
     precision=None,
+    int8_ok: bool = True,
 ) -> jax.Array:
-    """Sum-aggregation forward via gather + fused fold/reduce kernel."""
+    """Sum-aggregation forward via gather + fused fold/reduce kernel.
+
+    ``int8_ok=False`` disables the env-gated STREAM_INT8 quantized-stream
+    path regardless of the flag — gradient call sites (the d_x backward
+    reuses this forward with src/dst swapped) must pass it so the
+    custom-VJP pair stays numerically consistent when the eval-only
+    probe flag is set in a training process."""
     n, f = x.shape
     rows = out_rows if out_rows is not None else n
     if plan.num_chunks == 0:
@@ -550,7 +557,7 @@ def rspmm_v2_fwd(
                 rspmm_v2_fwd(
                     plan, relation[:, s:s + fs], x[:, s:s + fs],
                     edge_weight_ext, mul=mul, out_rows=out_rows,
-                    f_block=f_block, precision=precision,
+                    f_block=f_block, precision=precision, int8_ok=int8_ok,
                 )
                 for s in range(0, f, fs)
             ],
@@ -577,7 +584,7 @@ def rspmm_v2_fwd(
     rel_pad = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
     w_p = jnp.take(edge_weight_ext, plan.perm, axis=0)             # (E_pad,)
     int8_stream = (
-        STREAM_INT8 and mul == "mul" and prec is None
+        STREAM_INT8 and int8_ok and mul == "mul" and prec is None
         and not plan.rel_gather
     )
     if int8_stream:
