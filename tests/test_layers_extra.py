@@ -137,6 +137,40 @@ def test_rotate_all_aggregators(graph_setup, agg):
     np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("agg", ["sum", "mean"])
+def test_rotate_fused_plans_match_xla_with_grads(graph_setup, agg):
+    """The fused rotate path (one distmult rspmm at 2x width) must agree
+    with the plan-free XLA path on values AND gradients when Pallas plans
+    are attached — rotate is now first-class on the kernel path for
+    sum/mean (round-4 verdict #8)."""
+    from ultra_tpu.ops.rspmm_pallas import attach_plans
+
+    graph, rng, d, b, x, boundary, query = graph_setup
+    params = make_layer_params(rng, d, graph.num_relations)
+    cfg = ConvConfig(
+        input_dim=d, output_dim=d, num_relation=graph.num_relations,
+        message_func="rotate", aggregate_func=agg,
+    )
+    graph_p = attach_plans(graph, rb=16, chunk=32)
+    assert graph_p.plans is not None and graph_p.plans.v2 is not None
+
+    def loss(g):
+        def f(p, xx):
+            out = conv_apply(p, cfg, g, xx, boundary, query=query)
+            return jnp.sum(jnp.sin(out))
+
+        return jax.value_and_grad(f, argnums=(0, 1))(params, x)
+
+    (l_p, (gp_params, gp_x)) = loss(graph_p)
+    (l_x, (gx_params, gx_x)) = loss(graph)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp_x), np.asarray(gx_x),
+                               rtol=5e-3, atol=5e-4)
+    for a, c in zip(jax.tree.leaves(gp_params), jax.tree.leaves(gx_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-3, atol=5e-4)
+
+
 @pytest.mark.parametrize("agg", ["mean", "max", "pna"])
 def test_aggregators_match_torch_oracle(graph_setup, agg):
     from tests.oracle_torch import rspmm_oracle

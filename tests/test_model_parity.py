@@ -186,6 +186,43 @@ def test_head_corruption_tail_conversion(setup):
     np.testing.assert_allclose(np.asarray(scores), expect, rtol=1e-5, atol=1e-6)
 
 
+def test_all_shipped_checkpoints_convert_and_score(setup):
+    """Every shipped reference ckpt (run.py:256-258, README.md:96-101) must
+    convert and score a batch: ultra_3g / ultra_4g / ultra_50g / ultraquery.
+    ultra_50g was previously never touched by tests (round-4 verdict #7).
+    The four weight sets are distinct, so their score vectors must differ."""
+    import os
+    graph, _, _, _ = setup
+    cfg = UltraConfig()
+    rng = np.random.default_rng(5)
+    b = 4
+    h = rng.integers(0, graph.num_nodes, size=b)
+    r = rng.integers(0, graph.num_relations // 2, size=b)
+
+    from ultra_tpu.models.nbfnet import ultra_score_all
+
+    scores = {}
+    for name in ("ultra_3g", "ultra_4g", "ultra_50g", "ultraquery"):
+        path = f"/root/reference/ckpts/{name}.pth"
+        if not os.path.exists(path):
+            pytest.skip(f"no {name} ckpt")
+        p = convert_ultra_checkpoint(path)
+        assert len(p["relation_model"]["layers"]) == 6, name
+        assert len(p["entity_model"]["layers"]) == 6, name
+        assert p["relation_model"]["layers"][0]["relation"].shape == (4, 64), name
+        s = np.asarray(ultra_score_all(
+            to_jax(p), cfg, graph, jnp.asarray(h), r_index=jnp.asarray(r)
+        ))
+        assert s.shape == (b, graph.num_nodes), name
+        assert np.isfinite(s).all(), name
+        scores[name] = s
+    names = list(scores)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            assert not np.allclose(scores[names[i]], scores[names[j]]), (
+                names[i], names[j])
+
+
 def test_ultraquery_checkpoint_converts():
     """ultraquery.pth nests weights under model.model.* (run_query.py:226-233)."""
     import os

@@ -29,6 +29,7 @@ Parameter pytree (see also utils/torch_ckpt.py for the .pth converter):
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional
 
 import jax
@@ -39,6 +40,8 @@ from ultra_tpu.graph import Graph
 from ultra_tpu.ops.rspmm import rspmm_from_graph, degree
 
 EPS = 1e-6  # PNA std clamp, layers.py:14
+
+logger = logging.getLogger(__name__)
 
 
 @struct.dataclass
@@ -173,12 +176,54 @@ def _pna_features(sum_, sq_sum, max_, min_, boundary, deg):
     )  # (V,B,12D); the update Linear then takes [input (d) || update (12d)] = 13d
 
 
+def _rotate_sum_rspmm(cfg: ConvConfig, graph: Graph, relation, input,
+                      use_plans: bool):
+    """Fused RotatE × sum via ONE distmult rspmm at 2× feature width.
+
+    Complex multiplication is bilinear in (relation, input), so the rotate
+    message decomposes into four real elementwise products that a
+    distmult-style sum rspmm computes directly:
+
+      out_re = S(r_re, x_re) − S(r_im, x_im)
+      out_im = S(r_im, x_re) + S(r_re, x_im),
+      S(r, x)[v] = Σ_e w_e · r[type_e] ⊙ x[src_e]   (dst(e) = v)
+
+    Stacking [x_re‖x_im‖x_re‖x_im] against [r_re‖r_im‖r_im‖r_re] yields all
+    four in one kernel call — O(V·d) memory, full v1/v2 Pallas + custom-VJP
+    coverage, unlike the reference which computes rotate only on the
+    per-edge O(E·d) fallback (layers.py:91-94,135-154)."""
+    d2 = input.shape[-1]
+    assert d2 % 2 == 0, "rotate needs an even feature dim (complex pairs)"
+    d = d2 // 2
+    x_re, x_im = input[..., :d], input[..., d:]
+    r_re, r_im = relation[..., :d], relation[..., d:]
+    x4 = jnp.concatenate([x_re, x_im, x_re, x_im], axis=-1)  # (V, B, 2D)
+    r4 = jnp.concatenate([r_re, r_im, r_im, r_re], axis=-1)  # (R, B, 2D)
+    out4 = rspmm_from_graph(
+        graph, r4, x4, sum="add", mul="mul", backend=cfg.rspmm_backend,
+        use_plans=use_plans, precision=cfg.precision,
+    )  # (V, B, 2D): [S(r_re,x_re) ‖ S(r_im,x_im) ‖ S(r_im,x_re) ‖ S(r_re,x_im)]
+    out_re = out4[..., :d] - out4[..., d:2 * d]
+    out_im = out4[..., 2 * d:3 * d] + out4[..., 3 * d:]
+    return jnp.concatenate([out_re, out_im], axis=-1)
+
+
 def _conv_rotate(params, cfg: ConvConfig, graph: Graph, input, boundary, relation):
     """RotatE message (complex rotation, layers.py:142-147) with per-edge
-    materialization + XLA segment reductions, all four aggregators
-    (mirroring the reference per-edge fallback, layers.py:156-181).
-    CPU-oriented: no shipped config uses rotate, and XLA scatter does not
-    scale on the tunneled TPU (see CLAUDE.md)."""
+    materialization + XLA segment reductions, for the NON-decomposable
+    aggregators max/pna (mirroring the reference per-edge fallback,
+    layers.py:156-181). sum/mean take the fused ``_rotate_sum_rspmm`` path.
+    CPU-oriented: no shipped config uses rotate+max/pna, and XLA scatter
+    does not scale on the tunneled TPU (see CLAUDE.md)."""
+    n_elem = graph.edge_index.shape[1] * int(input.shape[1]) * int(input.shape[2])
+    if n_elem > 1 << 28:
+        logger.warning(
+            "rotate + %s uses the per-edge fallback: materializes %.2g "
+            "message elements (O(E*B*D)); this path is CPU-oriented and "
+            "will OOM / not complete at KG scale on TPU. Use sum/mean "
+            "aggregation for the fused kernel path.",
+            cfg.aggregate_func, float(n_elem),
+        )
     src = graph.edge_index[1]
     x_e = jnp.take(input, src, axis=0)  # (E, B, D)
     r_e = jnp.take(relation, graph.edge_type, axis=0)
@@ -242,13 +287,14 @@ def conv_apply(
     """
     relation = layer_relation(params, cfg, query=query, relation_input=relation_input)
     mul = _MESSAGE2MUL.get(cfg.message_func)
-    if mul is None:
-        if cfg.message_func == "rotate":
-            # Per-edge (un-fused) path, mirroring the reference's fallback
-            # for rotate (layers.py:91-94,135-154). O(E*B*D) materialization;
-            # CPU-oriented (no shipped config uses rotate).
-            return _conv_rotate(params, cfg, graph, input, boundary, relation)
+    rotate = cfg.message_func == "rotate"
+    if mul is None and not rotate:
         raise NotImplementedError(f"unknown message_func {cfg.message_func!r}")
+    if rotate and cfg.aggregate_func not in ("sum", "mean"):
+        # max/pna don't decompose under the complex product — per-edge
+        # fallback (CPU-oriented; warns at scale), like the reference
+        # (layers.py:91-94,135-181).
+        return _conv_rotate(params, cfg, graph, input, boundary, relation)
     backend = cfg.rspmm_backend
     # replicated plan tables are inconsistent with shard-local edge arrays;
     # per-shard (stacked) plans are fine — the caller flags them
@@ -258,19 +304,21 @@ def conv_apply(
         input = input.astype(kdt)
         relation = relation.astype(kdt)
 
+    def _sum_update():
+        if rotate:
+            return _rotate_sum_rspmm(cfg, graph, relation, input, use_plans)
+        return rspmm_from_graph(
+            graph, relation, input, sum="add", mul=mul, backend=backend,
+            use_plans=use_plans, precision=cfg.precision,
+        )
+
     ax = cfg.edge_axis
     if cfg.aggregate_func == "sum":
-        update = _combine(
-            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend, use_plans=use_plans,
-                            precision=cfg.precision), ax
-        )
+        update = _combine(_sum_update(), ax)
         update = update + boundary
     elif cfg.aggregate_func == "mean":
         deg = _combine(degree(graph, include_self_loop=False), ax)[:, None, None] + 1.0
-        update = _combine(
-            rspmm_from_graph(graph, relation, input, sum="add", mul=mul, backend=backend, use_plans=use_plans,
-                            precision=cfg.precision), ax
-        )
+        update = _combine(_sum_update(), ax)
         update = (update + boundary) / deg
     elif cfg.aggregate_func == "max":
         update = _combine(
