@@ -208,3 +208,29 @@ def test_misparse_warning_on_relation_vocab_explosion(tmp_path, caplog):
         ds = Swapped(root).load()
     assert ds.train.num_relations == 2 * 5000
     assert any("check col_order" in r.message for r in caplog.records)
+
+
+def test_synthetic_rule_kg_dataset(tmp_path):
+    """SyntheticRuleKG: offline deterministic rule-KG through the standard
+    TransductiveDataset path (raw files written by download(), vocab
+    accumulation, inverse augmentation, caching), plus parameterized
+    JointDataset members ({class: ..., kwargs})."""
+    root = str(tmp_path)
+    spec = dict(num_nodes=200, num_base_rel=6, num_comp_rel=3,
+                num_base_triples=800, seed=5)
+    ds = kg.SyntheticRuleKG(root, **spec).load()
+    assert ds.train.num_relations == 2 * 9
+    # valid/test targets are derived (composed) triples only
+    assert ds.valid.target_edge_type.shape[0] > 0
+    assert ds.test.target_edge_type.shape[0] > 0
+    assert (ds.valid.target_edge_type >= 0).all()
+    # deterministic: a second load (from cache) and a fresh regeneration
+    # in a new root agree
+    ds2 = kg.SyntheticRuleKG(root + "-b", **spec).load()
+    np.testing.assert_array_equal(ds.train.edge_index, ds2.train.edge_index)
+    np.testing.assert_array_equal(ds.test.target_edge_type,
+                                  ds2.test.target_edge_type)
+
+    joint = kg.JointDataset(root, [dict(spec, **{"class": "SyntheticRuleKG"})]).load()
+    assert joint[0].name == ds.name
+    np.testing.assert_array_equal(joint[0].train.edge_index, ds.train.edge_index)

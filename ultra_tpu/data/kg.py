@@ -812,6 +812,52 @@ class WikiTopicsMT4(MTDEAInductive):
 
 
 # ---------------------------------------------------------------------------
+# offline synthetic rule-KGs (no reference counterpart): first-class datasets
+# for the no-network transfer experiments — planted compositional rules give
+# learnable, vocabulary-independent structure (synthetic.rule_kg_splits)
+# ---------------------------------------------------------------------------
+
+
+class SyntheticRuleKG(TransductiveDataset):
+    """Deterministic offline rule-KG. Parameters arrive as constructor
+    kwargs (``build_dataset(name, root, **cfg)`` passes YAML dataset keys
+    straight through), the name encodes them, and ``download`` writes the
+    raw split files instead of fetching URLs — everything downstream
+    (vocab accumulation, inverse augmentation, relation graph, caching)
+    is the standard TransductiveDataset path."""
+
+    urls = ()
+    num_nodes = 2000
+    num_base_rel = 16
+    num_comp_rel = 8
+    num_base_triples = 12000
+    seed = 0
+    categories = 8
+    rule_keep = 0.75
+
+    def __init__(self, root: str, **kwargs):
+        super().__init__(root, **kwargs)
+        self.name = (
+            f"synthrule-v{self.num_nodes}-b{self.num_base_rel}"
+            f"-c{self.num_comp_rel}-e{self.num_base_triples}-s{self.seed}"
+        )
+
+    def download(self):
+        from ultra_tpu.data.synthetic import rule_kg_splits
+
+        train, valid, test, _ = rule_kg_splits(
+            self.num_nodes, self.num_base_rel, self.num_comp_rel,
+            self.num_base_triples, seed=self.seed,
+            categories=self.categories, rule_keep=self.rule_keep,
+        )
+        os.makedirs(self.raw_dir, exist_ok=True)
+        for path, trip in zip(self.raw_paths(), (train, valid, test)):
+            with open(path, "w", encoding="utf-8") as f:
+                for h, t, r in trip:
+                    f.write(f"e{h}\tr{r}\te{t}\n")
+
+
+# ---------------------------------------------------------------------------
 # joint pretraining mixture (datasets.py:1051-1095)
 # ---------------------------------------------------------------------------
 
@@ -830,12 +876,21 @@ class JointDataset:
         "AristoV4": AristoV4,
     }
 
-    def __init__(self, root: str, graphs: Sequence[str]):
+    def __init__(self, root: str, graphs: Sequence):
         self.root = root
         self.graph_names = list(graphs)
 
     def load(self) -> List[KGDataset]:
-        return [self.datasets_map[g](self.root).load() for g in self.graph_names]
+        out = []
+        for g in self.graph_names:
+            if isinstance(g, str):
+                out.append(self.datasets_map[g](self.root).load())
+            else:
+                # parameterized member: {class: SyntheticRuleKG, seed: 3, ...}
+                cfg = dict(g)
+                cls = DATASETS[cfg.pop("class")]
+                out.append(cls(self.root, **cfg).load())
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -874,8 +929,10 @@ DATASETS: Dict[str, type] = {
     "WikiTopicsMT2": WikiTopicsMT2,
     "WikiTopicsMT3": WikiTopicsMT3,
     "WikiTopicsMT4": WikiTopicsMT4,
+    "SyntheticRuleKG": SyntheticRuleKG,
     "JointDataset": JointDataset,
 }
+JointDataset.datasets_map["SyntheticRuleKG"] = SyntheticRuleKG
 
 # datasets whose evaluation protocol is tail-only (README.md:264; run.py:133)
 TAIL_ONLY_EVAL = {"WDsinger", "NELL23k", "FB15k237_10", "FB15k237_20", "FB15k237_50"}
