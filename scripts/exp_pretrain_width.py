@@ -112,27 +112,40 @@ def main():
 
     g_v1 = graph.replace(plans=graph.plans.replace(v2=None, v2src=None))
     variants = [
-        ("v1", g_v1, None, None, 1),
-        ("v2 slices~819 (1e9)", graph, 1e9, 4096, 1),
-        ("v2 slices=2048 (2.6e9)", graph, 2.6e9, 4096, 1),
-        ("v2 unsliced (7e9)", graph, 7e9, 4096, 1),
+        ("v1", g_v1, None, None, 1, True),
+        ("v2 slices~819 (1e9)", graph, 1e9, 4096, 1, True),
+        ("v2 slices=2048 (2.6e9)", graph, 2.6e9, 4096, 1, True),
+        ("v2 unsliced (7e9)", graph, 7e9, 4096, 1, True),
         # grad accumulation: micro-batches at F<=2048 where v2 wins AND
         # remat traffic halves/quarters (numerics == full batch, tested)
-        ("v2 grad_accum=2 (F=2048)", graph, 1e9, 2048, 2),
-        ("v2 grad_accum=4 (F=1024)", graph, 1e9, 2048, 4),
-        ("v1 grad_accum=2", g_v1, None, None, 2),
+        ("v2 grad_accum=2 (F=2048)", graph, 1e9, 2048, 2, True),
+        ("v2 grad_accum=4 (F=1024)", graph, 1e9, 2048, 4, True),
+        ("v1 grad_accum=2", g_v1, None, None, 2, True),
+        # round-5: micro-batches shrink activation HBM ~BS/accum-fold —
+        # small enough that REMAT MAY BE UNNECESSARY, saving the extra
+        # forward pass remat pays per layer (the open <1300 ms lever)
+        ("v2 grad_accum=8 (F=512)", graph, 1e9, 2048, 8, True),
+        ("v2 ga=2 remat-OFF", graph, 1e9, 2048, 2, False),
+        ("v2 ga=4 remat-OFF", graph, 1e9, 2048, 4, False),
+        ("v2 ga=8 remat-OFF", graph, 1e9, 2048, 8, False),
     ]
     if has_w3:
         # w3 has NO materialized stream — the stream/remat HBM fight that
         # makes sliced v2 lose at F=4096 does not exist for it (fwd + d_x
         # route w3; d_rel stays on the sliced v2 clustered plan)
         variants += [
-            ("w3 F=4096", g_w3, 1e9, 4096, 1),
-            ("w3 grad_accum=2 (F=2048)", g_w3, 1e9, 2048, 2),
+            ("w3 F=4096", g_w3, 1e9, 4096, 1, True),
+            ("w3 grad_accum=2 (F=2048)", g_w3, 1e9, 2048, 2, True),
         ]
     else:
         log("w3 variants skipped: cell-waste gate refused the plan")
-    for name, g, slice_bytes, max_f, accum in variants:
+    cfg_remat = cfg
+    cfg_nremat = cfg.replace(
+        relation_model=cfg.relation_model.replace(remat=False),
+        entity_model=cfg.entity_model.replace(remat=False),
+    )
+    for name, g, slice_bytes, max_f, accum, remat in variants:
+        cfg = cfg_remat if remat else cfg_nremat
         if slice_bytes is not None:
             v2mod.SLICE_BYTES = int(slice_bytes)
             rp.V2_MAX_F = int(max_f)
