@@ -449,6 +449,43 @@ def main():
                 extra["clqa_grouped_eval_qps"] = round(qps, 1)
             except Exception as exc:  # noqa: BLE001
                 log(f"CLQA diagnostic skipped: {type(exc).__name__}: {exc}")
+
+            # e2e filtered-eval diagnostic (round-5 headline): the REAL
+            # eval loop (collect_rankings — host strict-mask building
+            # pipelined with grouped device launches, cached relation
+            # reprs, fused t+h scoring) over 256 triples; reported as
+            # triples/s and extrapolated to FB15k-237's 20438-triple test
+            # split (both directions). B/group per scripts/exp_eval_sweep.
+            try:
+                from ultra_tpu.train.eval import collect_rankings
+
+                ev_b, ev_g, n_ev = 16, 8, 256
+                nd = ei.shape[1] // 2
+                ev_index = tasks.GraphIndex.build(ei, et, V, 2 * R_DIRECT)
+                ev_trips = np.stack(
+                    [ei[0, :nd], ei[1, :nd], et[:nd]], axis=1,
+                )[np.random.default_rng(5).choice(nd, size=n_ev,
+                                                  replace=False)]
+                collect_rankings(  # warm the jit caches
+                    params, cfg, graph, ev_trips[: ev_b * ev_g], ev_index,
+                    batch_size=ev_b, cache_relations=True,
+                    dispatch_group=ev_g)
+                t0 = time.perf_counter()
+                collect_rankings(
+                    params, cfg, graph, ev_trips, ev_index,
+                    batch_size=ev_b, cache_relations=True,
+                    dispatch_group=ev_g)
+                ev_dt = time.perf_counter() - t0
+                ev_tps = n_ev / ev_dt
+                ev_split = 20438 / ev_tps
+                log(f"e2e filtered eval (B={ev_b} group={ev_g}): "
+                    f"{ev_tps:.1f} triples/s -> full FB test split "
+                    f"{ev_split:.1f}s")
+                extra["eval_triples_per_sec"] = round(ev_tps, 1)
+                extra["eval_split_s"] = round(ev_split, 1)
+            except Exception as exc:  # noqa: BLE001
+                log(f"eval-split diagnostic skipped: "
+                    f"{type(exc).__name__}: {exc}")
     except Exception as exc:  # noqa: BLE001
         log(f"e2e diagnostic skipped: {type(exc).__name__}: {exc}")
 
