@@ -459,7 +459,11 @@ def main():
             try:
                 from ultra_tpu.train.eval import collect_rankings
 
-                ev_b, ev_g, n_ev = 16, 8, 256
+                # B=8 won the round-5 sweep (evidence/r5/eval_sweep*.log):
+                # fused dirs = F=1024, unsliced under the eval stream
+                # budget; B=16 is equal per-row (kernel-bound), B=32 falls
+                # to v1 (F=4096 > V2_MAX_F)
+                ev_b, ev_g, n_ev = 8, 8, 256
                 nd = ei.shape[1] // 2
                 ev_index = tasks.GraphIndex.build(ei, et, V, 2 * R_DIRECT)
                 ev_trips = np.stack(

@@ -41,8 +41,21 @@ def main():
                              rel_dist="zipf", categories=30)
     ei, et = with_inverses(trip, R_DIRECT)
     e = ei.shape[1]
+    rel_ei, rel_et = tasks.build_relation_graph_arrays(ei, et, V, 2 * R_DIRECT)
+    rel_e_pad = pad_bucket(rel_ei.shape[1], 1024)
+    rel_graph = make_graph(rel_ei, rel_et, num_nodes=2 * R_DIRECT,
+                           num_relations=4, pad_to=rel_e_pad)
+    rel_graph = attach_plans(
+        rel_graph, rb=128, chunk=128,
+        host_edges=(
+            np.pad(rel_ei, ((0, 0), (0, rel_e_pad - rel_ei.shape[1]))),
+            np.pad(rel_et, (0, rel_e_pad - rel_et.shape[0])),
+            np.pad(np.ones(rel_et.shape[0], np.float32),
+                   (0, rel_e_pad - rel_et.shape[0])),
+        ),
+    )
     graph = make_graph(ei, et, num_nodes=V, num_relations=2 * R_DIRECT,
-                       pad_to=pad_bucket(e, 8192))
+                       pad_to=pad_bucket(e, 8192), relation_graph=rel_graph)
     graph = attach_plans(graph, v2_sort_slots=True)
     cfg = UltraConfig()
     params = to_jax(convert_ultra_checkpoint("/root/reference/ckpts/ultra_3g.pth"))

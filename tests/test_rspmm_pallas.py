@@ -843,3 +843,23 @@ def test_v2_rel_gather_matches_xla(rng, mul_op, monkeypatch):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_stream_budget_context(rng):
+    """stream_budget temporarily widens the F-slice gate during eval
+    tracing (the fused both-direction scorer's 21% win) and restores the
+    training default on exit, including on exception."""
+    from ultra_tpu.ops import rspmm_pallas_v2 as v2mod
+
+    old = v2mod.SLICE_BYTES
+    e_pad = 10_000
+    with v2mod.stream_budget(e_pad * 2 * 256):
+        assert v2mod.SLICE_BYTES == e_pad * 2 * 256
+        assert v2mod._f_slice_width(e_pad, 512) == 256
+    assert v2mod.SLICE_BYTES == old
+    try:
+        with v2mod.stream_budget(123):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert v2mod.SLICE_BYTES == old

@@ -49,6 +49,7 @@ rspmm.cpp:50-75 (sum over w_e * op(rel[t_e], x[src_e])).
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import functools
 import os
 from typing import Optional
@@ -92,6 +93,33 @@ def _f_slice_width(e_pad: int, f: int) -> int:
     """Largest lane-aligned slice width whose stream fits SLICE_BYTES."""
     max_f = max(128, SLICE_BYTES // (e_pad * 2) // 128 * 128)
     return f if f <= max_f else max_f
+
+
+# Inference-only stream budget: the 1e9 SLICE_BYTES default protects
+# TRAINING (the materialized gather stream competes with remat traffic —
+# measured losses at pretrain width, ROOFLINE round-3), but a forward-only
+# eval pass has no remat and the stream is a transient. The fused
+# both-direction eval scorer at B=8 is F=1024, whose FB-scale stream
+# (614400 x 1024 x 2B = 1.26 GB) tripped the training gate and paid a
+# 768+256 split — 21% of e2e eval wall (11.2 -> 8.9 ms/triple,
+# evidence/r5/eval_decomp*.log). Eval paths wrap their jit-tracing calls
+# in ``stream_budget(EVAL_SLICE_BYTES)``; bytes (not F) are bounded, so
+# huge graphs still slice and HBM stays safe.
+EVAL_SLICE_BYTES = int(float(_os.environ.get("ULTRA_V2_EVAL_SLICE_BYTES",
+                                             "2.8e9")))
+
+
+@_contextlib.contextmanager
+def stream_budget(nbytes: int):
+    """Temporarily raise/lower SLICE_BYTES (trace-time only — wrap the
+    call that triggers jit tracing; cached executables are unaffected)."""
+    global SLICE_BYTES
+    old = SLICE_BYTES
+    SLICE_BYTES = int(nbytes)
+    try:
+        yield
+    finally:
+        SLICE_BYTES = old
 
 
 @struct.dataclass

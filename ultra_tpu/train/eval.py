@@ -219,20 +219,26 @@ def collect_rankings(
             t_masks = np.stack([tm for _, tm, _, _ in group])
             h_masks = np.stack([hm for _, _, hm, _ in group])
             valids = [v for _, _, _, v in group]
-            t_rank, h_rank = score_and_rank_group_cached(
-                params, cfg, graph, rel_reprs_all,
-                jnp.asarray(batches), jnp.asarray(t_masks), jnp.asarray(h_masks),
-            )
+            from ultra_tpu.ops import rspmm_pallas_v2 as _v2
+
+            with _v2.stream_budget(_v2.EVAL_SLICE_BYTES):
+                t_rank, h_rank = score_and_rank_group_cached(
+                    params, cfg, graph, rel_reprs_all,
+                    jnp.asarray(batches), jnp.asarray(t_masks), jnp.asarray(h_masks),
+                )
             if pending is not None:
                 collect(pending)
             pending = (t_rank, h_rank, t_masks, h_masks, valids)
     else:
         for s in batch_starts:
             batch, t_mask, h_mask, valid = submit_batch(trips[s : s + batch_size])
-            t_rank, h_rank = score_and_rank_batch(
-                params, cfg, graph,
-                jnp.asarray(batch), jnp.asarray(t_mask), jnp.asarray(h_mask),
-            )
+            from ultra_tpu.ops import rspmm_pallas_v2 as _v2
+
+            with _v2.stream_budget(_v2.EVAL_SLICE_BYTES):
+                t_rank, h_rank = score_and_rank_batch(
+                    params, cfg, graph,
+                    jnp.asarray(batch), jnp.asarray(t_mask), jnp.asarray(h_mask),
+                )
             if pending is not None:
                 collect(pending)
             pending = (t_rank[None], h_rank[None], t_mask[None], h_mask[None], [valid])
