@@ -128,6 +128,7 @@ def main():
         ("v2 ga=2 remat-OFF", graph, 1e9, 2048, 2, False),
         ("v2 ga=4 remat-OFF", graph, 1e9, 2048, 4, False),
         ("v2 ga=8 remat-OFF", graph, 1e9, 2048, 8, False),
+        ("v2 ga=16 remat-OFF", graph, 1e9, 2048, 16, False),
     ]
     if has_w3:
         # w3 has NO materialized stream — the stream/remat HBM fight that

@@ -50,7 +50,33 @@ def main():
     from ultra_tpu.models.nbfnet import sum_only_aggregators
 
     graphs = PretrainGraphs(datasets, v2_sort_slots=sum_only_aggregators(ultra_cfg))
-    params = pretrain(cfg, ultra_cfg, params, graphs, workdir, seed=args.seed)
+    try:
+        params = pretrain(cfg, ultra_cfg, params, graphs, workdir, seed=args.seed)
+    except Exception as exc:  # noqa: BLE001 — auto-remat on HBM OOM
+        # same safety net as run_link_prediction (runner.py): the shipped
+        # pretrain configs run remat-OFF grad-accum micro-batches (the
+        # round-5 1091 ms/step winner); a larger mixture member can OOM at
+        # compile time — retry with remat, losing no progress.
+        if ("Ran out of memory" not in str(exc)
+                and "RESOURCE_EXHAUSTED" not in str(exc)):
+            raise
+        if ultra_cfg.relation_model.remat and ultra_cfg.entity_model.remat:
+            raise
+        import dataclasses
+
+        logger.warning(
+            "pretrain step OOMed HBM (%s...); retrying with remat: yes — "
+            "set model.{relation_model,entity_model}.remat explicitly to "
+            "avoid the doubled first compile", str(exc)[:120],
+        )
+        ultra_cfg = dataclasses.replace(
+            ultra_cfg,
+            relation_model=dataclasses.replace(
+                ultra_cfg.relation_model, remat=True),
+            entity_model=dataclasses.replace(
+                ultra_cfg.entity_model, remat=True),
+        )
+        params = pretrain(cfg, ultra_cfg, params, graphs, workdir, seed=args.seed)
     ckpt_lib.save_pytree(os.path.join(workdir, "model_final"), {"params": params})
     logger.warning("saved final model to %s", workdir)
 
