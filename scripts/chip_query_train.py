@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--layers", type=int, default=6)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="micro-batch the query batch (grouped step only)")
     ap.add_argument("--grouped", action="store_true",
                     help="round-grouped projections (train.grouped_projections)")
     args = ap.parse_args()
@@ -84,8 +86,10 @@ def main():
     opt = make_optimizer()
     state = init_train_state(params, opt)
     if args.grouped:
-        step_fn = make_grouped_query_train_step(cfg, qcfg, opt)
+        step_fn = make_grouped_query_train_step(
+            cfg, qcfg, opt, grad_accum=args.grad_accum)
     else:
+        assert args.grad_accum == 1, "grad_accum needs --grouped"
         step_fn = make_query_train_step(cfg, qcfg, opt)
 
     rng = np.random.default_rng(0)

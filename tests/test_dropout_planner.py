@@ -387,3 +387,42 @@ def test_sharded_grouped_step_matches_single_device():
     np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(state8.params), jax.tree.leaves(state1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5)
+
+
+def test_grouped_step_grad_accum_matches_full_batch():
+    """grad_accum micro-batches on the grouped CLQA step == the full-batch
+    step (round graphs — one dropout mask per round — are shared, and the
+    loss is a mean over per-query rows)."""
+    from ultra_tpu.query.executor import projection_schedule, simulate_symbolic_grouped
+    from ultra_tpu.query.trainer import make_grouped_query_train_step
+    from ultra_tpu.train.loop import init_train_state, make_optimizer
+
+    graph, host, cfg, params, kind, operand = _query_setup()
+    reps = 8 // kind.shape[0] + 1
+    kind = np.concatenate([kind] * reps)[:8]
+    operand = np.concatenate([operand] * reps)[:8]
+    qcfg = QueryConfig(dropout_ratio=0.5)
+    planner = DropoutPlanner(host)
+    round_of, has_proj, arg_slot, n_rounds = projection_schedule(kind)
+    plan = simulate_symbolic_grouped(
+        kind, operand, round_of, has_proj, arg_slot, n_rounds,
+        host, qcfg, np.random.default_rng(11), planner,
+    )
+    round_graphs = graphs_for_slots(graph, plan)
+    rng = np.random.default_rng(0)
+    target = (rng.random((8, graph.num_nodes)) < 0.05).astype(np.float32)
+    opt = make_optimizer(lr=1e-3)
+
+    step1 = make_grouped_query_train_step(cfg, qcfg, opt, adversarial_temperature=1.0)
+    state1, loss1 = step1(init_train_state(params, opt), round_graphs,
+                          kind, operand, target)
+
+    step4 = make_grouped_query_train_step(
+        cfg, qcfg, opt, adversarial_temperature=1.0, grad_accum=4)
+    state4, loss4 = step4(init_train_state(params, opt), round_graphs,
+                          kind, operand, target)
+
+    np.testing.assert_allclose(float(loss4), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state4.params), jax.tree.leaves(state1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-5)

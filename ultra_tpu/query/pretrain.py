@@ -117,7 +117,10 @@ def pretrain_queries(
     # mints one variant per distinct slot-graph structure instead
     grouped = bool(train_cfg.get("grouped_projections", True))
     if grouped:
-        step_fn = make_grouped_query_train_step(ultra_cfg, qcfg, optimizer, adv_temp)
+        step_fn = make_grouped_query_train_step(
+            ultra_cfg, qcfg, optimizer, adv_temp,
+            grad_accum=int(train_cfg.get("grad_accum", 1)),
+        )
     else:
         step_fn = make_query_train_step(ultra_cfg, qcfg, optimizer, adv_temp)
 

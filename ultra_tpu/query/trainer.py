@@ -192,6 +192,7 @@ def make_grouped_query_train_step(
     qcfg: QueryConfig,
     optimizer: optax.GradientTransformation,
     adversarial_temperature: float = 1.0,
+    grad_accum: int = 1,
 ):
     """Training step with projections grouped into max-projections-per-query
     GNN rounds (train.grouped_projections: the reference scheduler's
@@ -201,20 +202,53 @@ def make_grouped_query_train_step(
     mixed batches; the jit cache is keyed by n_rounds, BUCKETED via
     pad_round_schedule (standard BetaE types chain <= 3 projections so
     buckets (1,2,3) never pad); each new compiled variant is logged with
-    its first-step wall time."""
+    its first-step wall time.
+
+    ``grad_accum`` > 1 splits the query batch into sequential micro-batches
+    (round graphs — one dropout mask per round — stay shared, so numerics
+    equal the full batch: the loss is a mean over per-query rows).
+    Micro-batching divides peak activation HBM by the same factor — the
+    lever that let link-prediction pretraining drop remat entirely
+    (ROOFLINE round-5)."""
     import functools
 
     @functools.partial(jax.jit, static_argnames=("n_rounds",))
     def step(state: TrainState, round_graphs, kind, operand,
              round_of, has_proj, arg_slot, n_rounds, target):
-        def loss_fn(params):
+        def loss_fn(params, kind, operand, round_of, has_proj, arg_slot,
+                    target):
             pred = execute_grouped(
                 params, ultra_cfg, qcfg, list(round_graphs), kind, operand,
                 round_of, has_proj, arg_slot, n_rounds,
             )
             return query_bce_loss(pred, target, adversarial_temperature)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if grad_accum == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, kind, operand, round_of, has_proj, arg_slot,
+                target,
+            )
+        else:
+            b = kind.shape[0]
+            assert b % grad_accum == 0, (b, grad_accum)
+
+            def split(a):
+                return a.reshape((grad_accum, b // grad_accum) + a.shape[1:])
+
+            micro = tuple(
+                split(a) for a in (kind, operand, round_of, has_proj,
+                                   arg_slot, target)
+            )
+
+            def body(carry, mb):
+                loss_sum, acc = carry
+                l, g = jax.value_and_grad(loss_fn)(state.params, *mb)
+                return (loss_sum + l, jax.tree.map(jnp.add, acc, g)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (loss_sum, grads), _ = jax.lax.scan(body, (0.0, zeros), micro)
+            loss = loss_sum / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -641,7 +675,8 @@ def train_queries(
             # reference-scheduler projection grouping: GNN rounds = max
             # projections per query, one dropout mask per round
             step_fn = make_grouped_query_train_step(
-                ultra_cfg, qcfg, optimizer, adv_temp
+                ultra_cfg, qcfg, optimizer, adv_temp,
+                grad_accum=int(train_cfg.get("grad_accum", 1)),
             )
             grouped = True
         else:
