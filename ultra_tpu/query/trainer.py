@@ -223,17 +223,18 @@ def make_grouped_query_train_step(
             )
             return query_bce_loss(pred, target, adversarial_temperature)
 
-        if grad_accum == 1:
+        b = kind.shape[0]
+        # clamp to the largest exact split (configs tune for the production
+        # batch; smoke batches stay numerically identical at any size)
+        accum = math.gcd(b, grad_accum)
+        if accum == 1:
             loss, grads = jax.value_and_grad(loss_fn)(
                 state.params, kind, operand, round_of, has_proj, arg_slot,
                 target,
             )
         else:
-            b = kind.shape[0]
-            assert b % grad_accum == 0, (b, grad_accum)
-
             def split(a):
-                return a.reshape((grad_accum, b // grad_accum) + a.shape[1:])
+                return a.reshape((accum, b // accum) + a.shape[1:])
 
             micro = tuple(
                 split(a) for a in (kind, operand, round_of, has_proj,
@@ -247,8 +248,8 @@ def make_grouped_query_train_step(
 
             zeros = jax.tree.map(jnp.zeros_like, state.params)
             (loss_sum, grads), _ = jax.lax.scan(body, (0.0, zeros), micro)
-            loss = loss_sum / grad_accum
-            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            loss = loss_sum / accum
+            grads = jax.tree.map(lambda g: g / accum, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

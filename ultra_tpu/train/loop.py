@@ -12,6 +12,7 @@ Optimizer is optax.adamw with torch-AdamW-equivalent hyperparameters.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -83,12 +84,15 @@ def make_train_step(
     @jax.jit
     def train_step(state: TrainState, graph: Graph, batch, edge_weight):
         graph = graph.replace(edge_weight=edge_weight)
-        if grad_accum == 1:
+        b = batch.shape[0]
+        # configs tune grad_accum for the production batch (e.g. 8 for the
+        # bs-64 pretrain); smaller smoke/debug batches clamp to the largest
+        # exact split so numerics stay == full batch at any size
+        accum = math.gcd(b, grad_accum)
+        if accum == 1:
             loss, grads = jax.value_and_grad(loss_fn)(state.params, graph, batch)
         else:
-            b = batch.shape[0]
-            assert b % grad_accum == 0, (b, grad_accum)
-            micro = batch.reshape((grad_accum, b // grad_accum) + batch.shape[1:])
+            micro = batch.reshape((accum, b // accum) + batch.shape[1:])
 
             def body(carry, mb):
                 loss_sum, acc = carry
@@ -97,8 +101,8 @@ def make_train_step(
 
             zeros = jax.tree.map(jnp.zeros_like, state.params)
             (loss_sum, grads), _ = jax.lax.scan(body, (0.0, zeros), micro)
-            loss = loss_sum / grad_accum
-            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            loss = loss_sum / accum
+            grads = jax.tree.map(lambda g: g / accum, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
