@@ -104,13 +104,17 @@ def main():
         f"{mb / max(tc, 1e-9):.0f} MB/s)")
 
     # --- a) device-only scoring/ranking ---------------------------------
+    from ultra_tpu.ops import rspmm_pallas_v2 as v2mod
+
     d0 = dev[0]
     jax.block_until_ready(score_and_rank_group_cached(
-        params, cfg, graph, rel_reprs, *d0))  # compile
+        params, cfg, graph, rel_reprs, *d0,
+        eval_budget=v2mod.EVAL_SLICE_BYTES))  # compile
     t0 = time.perf_counter()
     for gi in range(n_groups):
-        out = score_and_rank_group_cached(params, cfg, graph, rel_reprs,
-                                          *dev[gi])
+        out = score_and_rank_group_cached(
+            params, cfg, graph, rel_reprs, *dev[gi],
+            eval_budget=v2mod.EVAL_SLICE_BYTES)
     jax.block_until_ready(out)
     ta = time.perf_counter() - t0
     log(f"a) device scoring+ranking (pre-uploaded): {ta:.2f}s "

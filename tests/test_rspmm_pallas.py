@@ -846,20 +846,24 @@ def test_v2_rel_gather_matches_xla(rng, mul_op, monkeypatch):
 
 
 def test_stream_budget_context(rng):
-    """stream_budget temporarily widens the F-slice gate during eval
-    tracing (the fused both-direction scorer's 21% win) and restores the
-    training default on exit, including on exception."""
+    """stream_budget = unslice-if-it-fits during eval tracing (the fused
+    both-direction scorer's 21% win); streams OVER the budget keep the
+    TRAINING slicing (mid-width slices measured worst-of-both at 120K/2M —
+    evidence/r5/bigmem_eval.log); restores on exit, including on
+    exception."""
     from ultra_tpu.ops import rspmm_pallas_v2 as v2mod
 
-    old = v2mod.SLICE_BYTES
     e_pad = 10_000
-    with v2mod.stream_budget(e_pad * 2 * 256):
-        assert v2mod.SLICE_BYTES == e_pad * 2 * 256
-        assert v2mod._f_slice_width(e_pad, 512) == 256
-    assert v2mod.SLICE_BYTES == old
+    train_width = v2mod._f_slice_width(e_pad, 1024)
+    with v2mod.stream_budget(e_pad * 2 * 512):
+        # fits the budget -> unsliced
+        assert v2mod._f_slice_width(e_pad, 512) == 512
+        # over the budget -> the training width, NOT a mid-width slice
+        assert v2mod._f_slice_width(e_pad, 1024) == train_width
+    assert v2mod._EVAL_BUDGET is None
     try:
         with v2mod.stream_budget(123):
             raise RuntimeError("boom")
     except RuntimeError:
         pass
-    assert v2mod.SLICE_BYTES == old
+    assert v2mod._EVAL_BUDGET is None

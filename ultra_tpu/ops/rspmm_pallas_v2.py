@@ -89,8 +89,21 @@ def _vmem_limit_kw():
     return {"vmem_limit_bytes": int(mb) << 20} if mb else {}
 
 
+_EVAL_BUDGET: Optional[int] = None
+
+
 def _f_slice_width(e_pad: int, f: int) -> int:
-    """Largest lane-aligned slice width whose stream fits SLICE_BYTES."""
+    """Largest lane-aligned slice width whose stream fits SLICE_BYTES.
+
+    Under an active eval ``stream_budget``, a full-width stream within the
+    budget runs UNSLICED; otherwise the training width applies unchanged.
+    All-or-nothing on purpose: the 120K/2M probe (evidence/r5/
+    bigmem_eval.log) showed mid-width slices are the worst of both worlds
+    (F=1024: unsliced 584 ms, 128-slices 648, 512-slices 758) — narrow
+    slices pipeline gather/kernel well, unsliced avoids re-reads, the
+    middle does neither."""
+    if _EVAL_BUDGET is not None and e_pad * 2 * f <= _EVAL_BUDGET:
+        return f
     max_f = max(128, SLICE_BYTES // (e_pad * 2) // 128 * 128)
     return f if f <= max_f else max_f
 
@@ -103,23 +116,24 @@ def _f_slice_width(e_pad: int, f: int) -> int:
 # (614400 x 1024 x 2B = 1.26 GB) tripped the training gate and paid a
 # 768+256 split — 21% of e2e eval wall (11.2 -> 8.9 ms/triple,
 # evidence/r5/eval_decomp*.log). Eval paths wrap their jit-tracing calls
-# in ``stream_budget(EVAL_SLICE_BYTES)``; bytes (not F) are bounded, so
-# huge graphs still slice and HBM stays safe.
+# in ``stream_budget(EVAL_SLICE_BYTES)``: streams within the budget run
+# unsliced, larger ones keep the training slicing (HBM stays safe).
 EVAL_SLICE_BYTES = int(float(_os.environ.get("ULTRA_V2_EVAL_SLICE_BYTES",
                                              "2.8e9")))
 
 
 @_contextlib.contextmanager
 def stream_budget(nbytes: int):
-    """Temporarily raise/lower SLICE_BYTES (trace-time only — wrap the
-    call that triggers jit tracing; cached executables are unaffected)."""
-    global SLICE_BYTES
-    old = SLICE_BYTES
-    SLICE_BYTES = int(nbytes)
+    """Activate the eval unslice-if-it-fits budget (trace-time only —
+    wrap the call that triggers jit tracing; cached executables are
+    unaffected)."""
+    global _EVAL_BUDGET
+    old = _EVAL_BUDGET
+    _EVAL_BUDGET = int(nbytes)
     try:
         yield
     finally:
-        SLICE_BYTES = old
+        _EVAL_BUDGET = old
 
 
 @struct.dataclass

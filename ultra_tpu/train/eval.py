@@ -83,30 +83,48 @@ def _score_and_rank_cached(
     return t_rank, h_rank
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def _eval_budget_ctx(eval_budget):
+    """Trace-time eval stream budget INSIDE the jitted body, keyed by the
+    static ``eval_budget`` argument — a module-global context around the
+    jit call is NOT enough (the first caller to trace the shape poisons
+    the cache for every later caller; bitten by exp_eval_decomp)."""
+    import contextlib
+
+    from ultra_tpu.ops import rspmm_pallas_v2 as _v2
+
+    return _v2.stream_budget(eval_budget) if eval_budget else (
+        contextlib.nullcontext()
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "eval_budget"))
 def score_and_rank_batch_cached(
-    params, cfg: UltraConfig, graph: Graph, rel_reprs_all, batch, t_mask, h_mask
+    params, cfg: UltraConfig, graph: Graph, rel_reprs_all, batch, t_mask,
+    h_mask, eval_budget: Optional[int] = None,
 ):
     """score_and_rank_batch using precomputed (R, R, D) relation outputs.
 
     Both prediction directions run as ONE entity-model pass over a 2B-query
     batch (they share the graph): halves fixed per-call costs and doubles
-    the kernel's feature width.
+    the kernel's feature width. ``eval_budget``: forward-only stream
+    budget (unslice-if-it-fits, ROOFLINE round-5).
     """
-    return _score_and_rank_cached(
-        params, cfg, graph, rel_reprs_all, batch, t_mask, h_mask
-    )
+    with _eval_budget_ctx(eval_budget):
+        return _score_and_rank_cached(
+            params, cfg, graph, rel_reprs_all, batch, t_mask, h_mask
+        )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "eval_budget"))
 def score_and_rank_group_cached(
-    params, cfg: UltraConfig, graph: Graph, rel_reprs_all, batches, t_masks, h_masks
+    params, cfg: UltraConfig, graph: Graph, rel_reprs_all, batches, t_masks,
+    h_masks, eval_budget: Optional[int] = None,
 ):
     """G batches per dispatch via lax.scan: batches (G, B, 3), masks
     (G, B, V). The tunneled TPU pays a large fixed cost per executable
     launch (measured ~0.4 s — it scales with the ~150 param/graph/plan
     input buffers, not with compute), so grouping G batches into one launch
-    amortizes it G-fold."""
+    amortizes it G-fold. ``eval_budget``: see score_and_rank_batch_cached."""
 
     def body(carry, inp):
         batch, t_mask, h_mask = inp
@@ -114,7 +132,8 @@ def score_and_rank_group_cached(
             params, cfg, graph, rel_reprs_all, batch, t_mask, h_mask
         )
 
-    _, (t_rank, h_rank) = jax.lax.scan(body, 0, (batches, t_masks, h_masks))
+    with _eval_budget_ctx(eval_budget):
+        _, (t_rank, h_rank) = jax.lax.scan(body, 0, (batches, t_masks, h_masks))
     return t_rank, h_rank  # (G, B) each
 
 
@@ -221,11 +240,11 @@ def collect_rankings(
             valids = [v for _, _, _, v in group]
             from ultra_tpu.ops import rspmm_pallas_v2 as _v2
 
-            with _v2.stream_budget(_v2.EVAL_SLICE_BYTES):
-                t_rank, h_rank = score_and_rank_group_cached(
-                    params, cfg, graph, rel_reprs_all,
-                    jnp.asarray(batches), jnp.asarray(t_masks), jnp.asarray(h_masks),
-                )
+            t_rank, h_rank = score_and_rank_group_cached(
+                params, cfg, graph, rel_reprs_all,
+                jnp.asarray(batches), jnp.asarray(t_masks), jnp.asarray(h_masks),
+                eval_budget=_v2.EVAL_SLICE_BYTES,
+            )
             if pending is not None:
                 collect(pending)
             pending = (t_rank, h_rank, t_masks, h_masks, valids)
@@ -235,6 +254,8 @@ def collect_rankings(
             from ultra_tpu.ops import rspmm_pallas_v2 as _v2
 
             with _v2.stream_budget(_v2.EVAL_SLICE_BYTES):
+                # non-cached path: score_and_rank_batch is not jitted at
+                # this level, so the context wraps the actual trace
                 t_rank, h_rank = score_and_rank_batch(
                     params, cfg, graph,
                     jnp.asarray(batch), jnp.asarray(t_mask), jnp.asarray(h_mask),
