@@ -510,11 +510,17 @@ def make_query_forward_grouped(ultra_cfg: UltraConfig, qcfg: QueryConfig):
         has_proj, arg_slot, n_rounds, _ = pad_round_schedule(
             has_proj, arg_slot, n_rounds
         )
-        return fwd_jit(
-            params, graph, jnp.asarray(kind), jnp.asarray(operand),
-            jnp.asarray(round_of), jnp.asarray(has_proj),
-            jnp.asarray(arg_slot), n_rounds, rel_reprs_all,
-        )
+        # eval-only factory -> every trace of THIS closure's jit cache
+        # wants the forward-only stream budget (unslice-if-it-fits; wide
+        # eval batches otherwise pay the training F-slice split)
+        from ultra_tpu.ops import rspmm_pallas_v2 as _v2
+
+        with _v2.stream_budget(_v2.EVAL_SLICE_BYTES):
+            return fwd_jit(
+                params, graph, jnp.asarray(kind), jnp.asarray(operand),
+                jnp.asarray(round_of), jnp.asarray(has_proj),
+                jnp.asarray(arg_slot), n_rounds, rel_reprs_all,
+            )
 
     return fwd
 
