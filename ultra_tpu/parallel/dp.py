@@ -168,4 +168,14 @@ def make_sharded_score_step(
         out_specs=(P(data_axis), P(data_axis)),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def run(params, graph_in, batch):
+        # eval-only factory: trace under the forward-only stream budget
+        # (unslice-if-it-fits; per-closure jit cache, so no poisoning)
+        from ultra_tpu.ops import rspmm_pallas_v2 as _v2
+
+        with _v2.stream_budget(_v2.EVAL_SLICE_BYTES):
+            return jitted(params, graph_in, batch)
+
+    return run
