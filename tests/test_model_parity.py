@@ -234,3 +234,52 @@ def test_ultraquery_checkpoint_converts():
     assert len(p["entity_model"]["layers"]) == 6
     assert len(p["entity_model"]["mlp"]) == 2
     assert p["relation_model"]["layers"][0]["relation"].shape == (4, 64)
+
+
+def test_export_checkpoint_roundtrip(tmp_path, params_np):
+    """export_ultra_checkpoint writes the reference .pth layout exactly:
+    the exported state dict has the SAME key set and per-key shapes as the
+    shipped ultra_3g.pth (so the reference's nn.Module.load_state_dict
+    accepts it, run.py:256-258), and converting it back reproduces the
+    parameter pytree bit-exactly."""
+    import torch
+
+    from ultra_tpu.utils.torch_ckpt import export_ultra_checkpoint
+
+    out = str(tmp_path / "exported.pth")
+    export_ultra_checkpoint(params_np, out)
+
+    orig = torch.load(CKPT, map_location="cpu", weights_only=False)["model"]
+    ours = torch.load(out, map_location="cpu", weights_only=False)["model"]
+    assert set(ours) == set(orig)
+    for k in orig:
+        assert tuple(ours[k].shape) == tuple(orig[k].shape), k
+        assert ours[k].dtype == orig[k].dtype, k
+        np.testing.assert_array_equal(ours[k].numpy(), orig[k].numpy(), err_msg=k)
+
+    back = convert_ultra_checkpoint(out)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(back),
+        jax.tree_util.tree_leaves_with_path(params_np),
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
+
+
+def test_export_checkpoint_query_nesting(tmp_path):
+    """nest_levels=2 reproduces the UltraQuery model.model.* key layout."""
+    path = "/root/reference/ckpts/ultraquery.pth"
+    if not os.path.exists(path):
+        pytest.skip("no ckpt")
+    import torch
+
+    from ultra_tpu.utils.torch_ckpt import export_ultra_checkpoint
+
+    p = convert_ultra_checkpoint(path)
+    out = str(tmp_path / "exported_query.pth")
+    export_ultra_checkpoint(p, out, nest_levels=2)
+    orig = torch.load(path, map_location="cpu", weights_only=False)["model"]
+    ours = torch.load(out, map_location="cpu", weights_only=False)["model"]
+    assert set(ours) == set(orig)
+    for k in orig:
+        np.testing.assert_array_equal(ours[k].numpy(), orig[k].numpy(), err_msg=k)
