@@ -410,6 +410,61 @@ def main():
             except Exception as exc:  # noqa: BLE001
                 log(f"train diagnostic skipped: {type(exc).__name__}: {exc}")
 
+            # pretrain step diagnostic (round-5 headline training number):
+            # bs 64 x 512 negs — the reference pretrain shape
+            # (config/transductive/pretrain_3g.yaml:31-43) — with the
+            # shipped winning config: grad_accum=8 micro-batches, remat
+            # OFF (activations fit HBM at F=512; 1091 ms/step on the v5e,
+            # evidence/r5/pretrain_width_r5b.log). Steps are ~1s, so
+            # direct wall timing; skip with BENCH_SKIP_PRETRAIN=1.
+            if os.environ.get("BENCH_SKIP_PRETRAIN", "0") != "1":
+                try:
+                    from ultra_tpu.train.loop import (
+                        init_train_state, make_optimizer, make_train_step,
+                    )
+
+                    p_bs, p_neg, p_ga = 64, 512, 8
+                    index_p = tasks.GraphIndex.build(ei, et, V, 2 * R_DIRECT)
+                    n_direct = ei.shape[1] // 2
+                    triples_p = np.stack(
+                        [ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]],
+                        axis=1,
+                    )
+                    rng_p = np.random.default_rng(0)
+                    rows_p = triples_p[
+                        rng_p.choice(n_direct, size=p_bs, replace=False)
+                    ]
+                    pb = tasks.negative_sampling(
+                        index_p, rows_p, num_negative=p_neg, rng=rng_p
+                    )
+                    pew = tasks.easy_edge_weights(
+                        index_p, pb, graph.num_edges_padded
+                    )
+                    pb, pew = jnp.asarray(pb), jnp.asarray(pew)
+                    opt_p = make_optimizer()
+                    pstep = make_train_step(
+                        cfg, opt_p, num_negative=p_neg, grad_accum=p_ga
+                    )
+                    pstate = init_train_state(params, opt_p)
+                    t0 = time.perf_counter()
+                    pstate, ploss = pstep(pstate, graph, pb, pew)
+                    float(ploss)
+                    pcompile = time.perf_counter() - t0
+                    ptimes = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        pstate, ploss = pstep(pstate, graph, pb, pew)
+                        float(ploss)
+                        ptimes.append((time.perf_counter() - t0) * 1e3)
+                    pms = sorted(ptimes)[len(ptimes) // 2]
+                    log(f"pretrain step (bs 64, 512 negs, ga=8 no-remat): "
+                        f"{pms:.0f} ms/step (compile+1st {pcompile:.0f}s)")
+                    extra["pretrain_step_ms"] = round(pms, 1)
+                    pstep = pstate = None
+                except Exception as exc:  # noqa: BLE001
+                    log(f"pretrain diagnostic skipped: "
+                        f"{type(exc).__name__}: {exc}")
+
             # CLQA diagnostic: round-grouped executor forward on a mixed
             # 14-structure query batch (one query per BetaE type), eval
             # config (no dropout, precomputed relation reprs). One jit

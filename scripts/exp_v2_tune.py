@@ -70,7 +70,7 @@ def main():
             "mul", V, None, g.plans, rel3, xx, g.edge_weight), x3)
         log(f"[{name}] v1: {ms_v1:.2f} ms ({e/(ms_v1*1e-3)/1e6:.0f} M e/s)")
 
-        for align, c in [(1024, 512), (1024, 1024), (2048, 2048)]:
+        for align, c in [(1024, 512), (1024, 1024), (1536, 1536), (2048, 2048)]:
             v2mod.ALIGN = align
             p = v2mod.build_plan_v2(ei, et, V, 2 * R_DIRECT, chunk=c,
                                     edge_ids=np.arange(e), dead_slot=e)
