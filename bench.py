@@ -365,16 +365,15 @@ def main():
             # (bs 8, 32 strict negatives — config/transductive finetune
             # shape), chained through the TrainState carry so the slope
             # excludes dispatch
+            # shared by the finetune + pretrain diagnostics below
+            index = tasks.GraphIndex.build(ei, et, V, 2 * R_DIRECT)
+            n_direct = ei.shape[1] // 2
+            triples = np.stack(
+                [ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]], axis=1,
+            )
             try:
                 from ultra_tpu.train.loop import (
                     init_train_state, make_optimizer, make_train_step,
-                )
-
-                index = tasks.GraphIndex.build(ei, et, V, 2 * R_DIRECT)
-                n_direct = ei.shape[1] // 2
-                triples = np.stack(
-                    [ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]],
-                    axis=1,
                 )
                 rng2 = np.random.default_rng(1)
                 rows = triples[rng2.choice(n_direct, size=B, replace=False)]
@@ -424,21 +423,15 @@ def main():
                     )
 
                     p_bs, p_neg, p_ga = 64, 512, 8
-                    index_p = tasks.GraphIndex.build(ei, et, V, 2 * R_DIRECT)
-                    n_direct = ei.shape[1] // 2
-                    triples_p = np.stack(
-                        [ei[0, :n_direct], ei[1, :n_direct], et[:n_direct]],
-                        axis=1,
-                    )
                     rng_p = np.random.default_rng(0)
-                    rows_p = triples_p[
+                    rows_p = triples[
                         rng_p.choice(n_direct, size=p_bs, replace=False)
                     ]
                     pb = tasks.negative_sampling(
-                        index_p, rows_p, num_negative=p_neg, rng=rng_p
+                        index, rows_p, num_negative=p_neg, rng=rng_p
                     )
                     pew = tasks.easy_edge_weights(
-                        index_p, pb, graph.num_edges_padded
+                        index, pb, graph.num_edges_padded
                     )
                     pb, pew = jnp.asarray(pb), jnp.asarray(pew)
                     opt_p = make_optimizer()

@@ -66,19 +66,18 @@ def main():
     jax.block_until_ready(rel_reprs)
 
     fwds = {}
-    # budget ON = module default (2.8e9 -> unsliced); OFF = 1 byte (never
-    # fits -> training slicing, the r04 behavior). The budget is read at
-    # trace time, so each variant needs its own forward closure.
-    for name, nbytes in (("budget_on", v2.EVAL_SLICE_BYTES), ("budget_off", 1)):
-        saved = v2.EVAL_SLICE_BYTES
-        v2.EVAL_SLICE_BYTES = nbytes
-        try:
-            fwd = make_query_forward_grouped(cfg, qcfg)
-            jax.block_until_ready(
-                fwd(params, graph, kind, operand, rel_reprs)
-            )  # trace+compile under this budget
-        finally:
-            v2.EVAL_SLICE_BYTES = saved
+    # budget ON = trace the closure under an explicit stream_budget
+    # (unslice-if-it-fits, what the factory did before ddf7ae1); OFF =
+    # plain trace -> the training slice gate (the shipped behavior after
+    # the fix). The budget applies at trace time, so each variant gets its
+    # own forward closure and the first (tracing) call decides its layout.
+    for name, nbytes in (("budget_on", 2_800_000_000), ("budget_off", None)):
+        fwd = make_query_forward_grouped(cfg, qcfg)
+        if nbytes is not None:
+            with v2.stream_budget(nbytes):
+                jax.block_until_ready(fwd(params, graph, kind, operand, rel_reprs))
+        else:
+            jax.block_until_ready(fwd(params, graph, kind, operand, rel_reprs))
         fwds[name] = fwd
 
     import jax.numpy as jnp

@@ -126,8 +126,26 @@ def test_error_paths(server):
     status, out = _req(server, "POST", "/v1/predict",
                        {"queries": [{"head": 0, "relation": 7}]})
     assert status == 400 and "relation" in out["error"]
+    # malformed k: 400, not 500 (and not silently-empty results)
+    status, out = _req(server, "POST", "/v1/predict",
+                       {"queries": [{"head": 0, "relation": 1, "k": "five"}]})
+    assert status == 400 and "'k'" in out["error"]
+    status, out = _req(server, "POST", "/v1/predict",
+                       {"queries": [{"head": 0, "relation": 1, "k": -3}]})
+    assert status == 400
     status, out = _req(server, "POST", "/v1/query", {"queries": ["nope"]})
     assert status == 400
+    # out-of-range ids inside a BetaE program must 400 (a device gather
+    # would silently clamp them)
+    status, out = _req(server, "POST", "/v1/query",
+                       {"queries": [[99999, [1]]]})
+    assert status == 400 and "entity id" in out["error"]
+    status, out = _req(server, "POST", "/v1/query",
+                       {"queries": [[0, [-5]]]})
+    assert status == 400
+    status, out = _req(server, "POST", "/v1/query",
+                       {"queries": [[0, [1] * 40]]})
+    assert status == 400 and "too long" in out["error"]
     status, out = _req(server, "GET", "/v1/nope")
     assert status == 404
 

@@ -68,6 +68,27 @@ class PredictionService:
         self._started = time.time()
         self._qfwd = None
         self._qcfg = qcfg
+        self._k_buckets = (1, 10, 100)
+
+    def _parse_k(self, raw, where: str) -> int:
+        try:
+            k = int(raw)
+        except (TypeError, ValueError):
+            raise BadRequest(f"{where}: 'k' must be an integer")
+        if k < 1:
+            raise BadRequest(f"{where}: 'k' must be >= 1")
+        return min(k, self.predictor.graph.num_nodes)
+
+    def _bucket_k(self, k: int) -> int:
+        # client-controlled k is a STATIC jit arg — bucket it so a client
+        # cycling k values cannot grow the executable cache unboundedly
+        v = self.predictor.graph.num_nodes
+        return next((b for b in self._k_buckets if b >= k), v)
+
+    def _record(self, dt_ms: float) -> None:
+        with self._lock:
+            self._latencies.append(dt_ms)
+            self._requests += 1
 
     # -- link prediction ---------------------------------------------------
 
@@ -99,14 +120,13 @@ class PredictionService:
                 )
             h.append(head)
             r.append(rel + num_direct if mode == "head" else rel)
-            ks.append(min(int(q.get("k", 10)), v))
-        k = max(ks)  # one jit variant per k-bucket; per-query k trims below
+            ks.append(self._parse_k(q.get("k", 10), f"query {i}"))
+        k = self._bucket_k(max(ks))  # per-query k trims below
         t0 = time.perf_counter()
         with self._lock:
             scores, tails = self.predictor.predict_tails(h, r, k=k)
         dt = (time.perf_counter() - t0) * 1e3
-        self._latencies.append(dt)
-        self._requests += 1
+        self._record(dt)
         results = []
         for i in range(len(queries)):
             ki = ks[i]
@@ -123,21 +143,27 @@ class PredictionService:
     # -- CLQA --------------------------------------------------------------
 
     def _query_forward(self):
-        if self._qfwd is None:
-            from ultra_tpu.query.executor import QueryConfig
-            from ultra_tpu.query.trainer import make_query_forward_grouped
-            from ultra_tpu.train.eval import precompute_relation_representations
-
-            qcfg = self._qcfg or QueryConfig(dropout_ratio=0.0, threshold=0.8)
-            fwd = make_query_forward_grouped(self.predictor.cfg, qcfg)
-            rel_reprs = getattr(self.predictor, "rel_reprs", None)
-            if rel_reprs is None:
-                rel_reprs = precompute_relation_representations(
-                    self.predictor.params, self.predictor.cfg,
-                    self.predictor.graph,
+        # lazy init under the device lock: two concurrent first queries
+        # must not build two closures (each owns a jit cache) or dispatch
+        # the rel-repr precompute concurrently with locked device work
+        with self._lock:
+            if self._qfwd is None:
+                from ultra_tpu.query.executor import QueryConfig
+                from ultra_tpu.query.trainer import make_query_forward_grouped
+                from ultra_tpu.train.eval import (
+                    precompute_relation_representations,
                 )
-            self._qfwd = (fwd, rel_reprs)
-        return self._qfwd
+
+                qcfg = self._qcfg or QueryConfig(dropout_ratio=0.0, threshold=0.8)
+                fwd = make_query_forward_grouped(self.predictor.cfg, qcfg)
+                rel_reprs = getattr(self.predictor, "rel_reprs", None)
+                if rel_reprs is None:
+                    rel_reprs = precompute_relation_representations(
+                        self.predictor.params, self.predictor.cfg,
+                        self.predictor.graph,
+                    )
+                self._qfwd = (fwd, rel_reprs)
+            return self._qfwd
 
     def query(self, payload: dict) -> dict:
         from ultra_tpu.query import ops as qops
@@ -147,19 +173,53 @@ class PredictionService:
             raise BadRequest("body must be {'queries': [..]} (non-empty)")
         if len(queries) > self.max_batch:
             raise BadRequest(f"max {self.max_batch} queries per request")
-        k = min(int(payload.get("k", 10)), self.predictor.graph.num_nodes)
+        k = self._parse_k(payload.get("k", 10), "body")
+        v = self.predictor.graph.num_nodes
+        num_rel = self.predictor.graph.num_relations  # incl. inverses (BetaE)
         progs = []
         for i, q in enumerate(queries):
             if not isinstance(q, list):
                 raise BadRequest(f"query {i}: must be a BetaE nested list")
             try:
-                progs.append(qops.from_nested(_as_tuples(q)))
+                prog = qops.from_nested(_as_tuples(q))
             except Exception as exc:  # noqa: BLE001
                 raise BadRequest(f"query {i}: not a BetaE nested query ({exc})")
+            # validate decoded operands — an out-of-range id would be
+            # silently clamped by the device gather, a negative one would
+            # corrupt the opcode bits (query/ops.py:18-24: OR with a
+            # negative int sets ALL high bits, decoding as a different op)
+            if (prog < 0).any():
+                raise BadRequest(
+                    f"query {i}: negative ids are invalid (-2 is only "
+                    "valid inside a unary-op list, meaning negation)"
+                )
+            kind_i, op_i = qops.decompose(prog[None, :])
+            ent_ok = op_i[kind_i == qops.K_OPERAND]
+            rel_ok = op_i[kind_i == qops.K_PROJECTION]
+            if ent_ok.size and (ent_ok.min() < 0 or ent_ok.max() >= v):
+                raise BadRequest(f"query {i}: entity id out of range [0, {v})")
+            if rel_ok.size and (rel_ok.min() < 0 or rel_ok.max() >= num_rel):
+                raise BadRequest(
+                    f"query {i}: relation id out of range [0, {num_rel})"
+                )
+            progs.append(prog)
         max_len = max(p.shape[0] for p in progs)
         bucket = next(
             (b for b in self.query_len_buckets if b >= max_len), max_len
         )
+        if bucket > self.query_len_buckets[-1]:
+            raise BadRequest(
+                f"query too long ({max_len} ops; max "
+                f"{self.query_len_buckets[-1]})"
+            )
+        # bucket the BATCH size too: client-controlled shapes are static
+        # jit args — power-of-two buckets keep the executable cache bounded
+        pad_prog = np.array([0, qops.PROJECTION | 0, qops.STOP], np.int64)
+        n_real = len(progs)
+        n_bucket = 1
+        while n_bucket < n_real:
+            n_bucket *= 2
+        progs = progs + [pad_prog] * (n_bucket - n_real)
         kind, operand = qops.decompose(qops.pad_queries(progs, bucket))
         fwd, rel_reprs = self._query_forward()
         t0 = time.perf_counter()
@@ -167,10 +227,9 @@ class PredictionService:
             pred = np.asarray(
                 fwd(self.predictor.params, self.predictor.graph, kind, operand,
                     rel_reprs)
-            )
+            )[:n_real]
         dt = (time.perf_counter() - t0) * 1e3
-        self._latencies.append(dt)
-        self._requests += 1
+        self._record(dt)
         # the executor's final stack value is a logit (trained with
         # sigmoid-BCE, query/trainer.py); answer probability = sigmoid,
         # matching evaluate_queries' num_pred accounting
@@ -191,14 +250,16 @@ class PredictionService:
     # -- meta --------------------------------------------------------------
 
     def meta(self) -> dict:
-        lat = sorted(self._latencies)
+        with self._lock:  # _latencies mutates on request threads
+            lat = sorted(self._latencies)
+            requests = self._requests
         pct = lambda p: round(lat[int(p * (len(lat) - 1))], 2) if lat else None  # noqa: E731
         g = self.predictor.graph
         return {
             "num_entities": int(g.num_nodes),
             "num_relations_direct": int(g.num_relations // 2),
             "batch_size": self.predictor.batch_size,
-            "requests": self._requests,
+            "requests": requests,
             "uptime_s": round(time.time() - self._started, 1),
             "latency_ms": {"p50": pct(0.5), "p90": pct(0.9), "p99": pct(0.99)},
             "has_entity_names": bool(self.entity_names),
@@ -222,12 +283,15 @@ def make_http_server(service: PredictionService, host: str = "127.0.0.1",
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/healthz":
-                self._send(200, {"status": "ok"})
-            elif self.path == "/v1/meta":
-                self._send(200, service.meta())
-            else:
-                self._send(404, {"error": f"no route {self.path}"})
+            try:
+                if self.path == "/healthz":
+                    self._send(200, {"status": "ok"})
+                elif self.path == "/v1/meta":
+                    self._send(200, service.meta())
+                else:
+                    self._send(404, {"error": f"no route {self.path}"})
+            except Exception as exc:  # noqa: BLE001
+                self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 
         def do_POST(self):
             routes = {"/v1/predict": service.predict, "/v1/query": service.query}
