@@ -267,3 +267,65 @@ exec(open({os.path.join(repo, "scripts", "parity_run_query.py")!r}).read())
     row = report["rows"][0]
     assert 0.0 <= row["epfo_mrr"] <= 1.0
     assert (tmp_path / "parity_q.csv").exists()
+
+
+def test_visualize_cli(tmp_path):
+    """Drive scripts/visualize.py: top paths print, are contiguous, and
+    start/end at the queried head/tail (base_nbfnet.py:156-263 analog)."""
+    root = tmp_path / "kg-datasets"  # inference.yaml's hardcoded ./kg-datasets
+    raw = root / "clitoy" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lines = sorted(
+        {f"n{rng.integers(12)} r{rng.integers(3)} n{rng.integers(12)}"
+         for _ in range(70)}
+    )
+    (raw / "train.txt").write_text("\n".join(lines[:40]) + "\n")
+    (raw / "valid.txt").write_text("\n".join(lines[40:50]) + "\n")
+    (raw / "test.txt").write_text("\n".join(lines[50:60]) + "\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    ckpt = "/root/reference/ckpts/ultra_3g.pth"
+    if not os.path.exists(ckpt):
+        pytest.skip("no reference ckpt")
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        f"""
+import sys
+sys.path.insert(0, {repo!r})
+import tests.conftest
+from ultra_tpu.data import kg
+
+class CLIToy(kg.TransductiveDataset):
+    name = "clitoy"
+    urls = ()
+
+kg.DATASETS["CLIToy"] = CLIToy
+ds = kg.build_dataset("CLIToy", {str(root)!r}).load()
+h = int(ds.test.target_edge_index[0, 0]); t = int(ds.test.target_edge_index[1, 0])
+r = int(ds.test.target_edge_type[0])
+sys.argv = ["visualize.py", "-c",
+            {os.path.join(repo, "config/transductive/inference.yaml")!r},
+            "--dataset", "CLIToy", "--ckpt", {ckpt!r},
+            "--head", str(h), "--relation", str(r), "--tail", str(t),
+            "--topk", "3"]
+import os
+os.chdir({str(tmp_path)!r})  # config's root ./kg-datasets resolves here
+print("QUERY", h, r, t)
+exec(open({os.path.join(repo, "scripts", "visualize.py")!r}).read())
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, str(driver)], capture_output=True, text=True,
+        timeout=600, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out_lines = proc.stdout.strip().splitlines()
+    q = next(l for l in out_lines if l.startswith("QUERY")).split()
+    h, t = int(q[1]), int(q[3])
+    paths = [l for l in out_lines if "importance" in l]
+    assert paths, proc.stdout
+    for p in paths:
+        toks = p.split()
+        assert int(toks[0]) == h
+        assert int(toks[-3]) == t  # last node before "(importance w)"
