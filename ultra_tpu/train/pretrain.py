@@ -140,9 +140,33 @@ def pretrain(
                     graphs.train_graphs[gi].num_edges_padded,
                     remove_one_hop=ultra_cfg.entity_model.remove_one_hop,
                 )
-                state, loss = step_fn(
-                    state, graphs.train_graphs[gi], jnp.asarray(batch), jnp.asarray(ew)
-                )
+                try:
+                    state, loss = step_fn(
+                        state, graphs.train_graphs[gi], jnp.asarray(batch), jnp.asarray(ew)
+                    )
+                except jax.errors.JaxRuntimeError as exc:
+                    if "UNAVAILABLE" not in str(exc):
+                        raise
+                    # a TPU-worker crash ("kernel fault") poisons the whole
+                    # client process — turn the bare backend traceback into
+                    # an actionable diagnostic. Known instance: the XLA
+                    # layer-norm backward faults at specific (V, batch)
+                    # tile shapes (evidence/r5/member3_fault.md);
+                    # train.grad_accum changes the micro-batch shape and
+                    # sidesteps it with full-batch numerics.
+                    d = graphs.datasets[gi]
+                    g = graphs.train_graphs[gi]
+                    raise RuntimeError(
+                        f"TPU worker crashed executing the train step on "
+                        f"mixture member {gi} ({d.name}: V={g.num_nodes} "
+                        f"R={g.num_relations} e_pad={g.num_edges_padded}, "
+                        f"batch_size={batch_size}). This is a backend "
+                        f"codegen fault at this shape, not a data error — "
+                        f"set train.grad_accum: 2 (micro-batches change "
+                        f"the faulting shape; numerics stay identical) or "
+                        f"change batch_size, then resume from the crash "
+                        f"checkpoint. See evidence/r5/member3_fault.md."
+                    ) from exc
                 losses.append(loss)
                 if step % log_interval == 0:
                     logger.warning("epoch %d step %d loss %.6f", epoch, step, float(loss))
