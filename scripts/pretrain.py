@@ -20,7 +20,10 @@ def main():
     cfg = config_lib.load_config(args.config, context=vars_)
 
     logging.basicConfig(level=logging.WARNING, format="%(asctime)s %(message)s")
-    workdir = os.path.join(
+    # ULTRA_WORKDIR pins the working directory across restarts (same
+    # contract as scripts/run.py — scripts/supervise.py relies on it to
+    # resume from the pinned dir's checkpoints)
+    workdir = os.environ.get("ULTRA_WORKDIR") or os.path.join(
         os.path.expanduser(cfg.get("output_dir", "./output")),
         time.strftime("%Y-%m-%d-%H-%M-%S"),
     )

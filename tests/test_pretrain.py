@@ -120,13 +120,17 @@ sys.argv = ["pretrain.py", "-c", {str(cfg_file)!r}]
 exec(open({os.path.join(repo, "scripts", "pretrain.py")!r}).read())
 """
     )
+    # ULTRA_WORKDIR pins the workdir (supervisor resume contract, same as
+    # run.py — a timestamped dir would break crash-restart resumption)
+    pinned = str(tmp_path / "pinned")
+    env = dict(os.environ, ULTRA_WORKDIR=pinned)
     proc = subprocess.run(
         [sys.executable, str(driver)], capture_output=True, text=True,
-        timeout=600, cwd=repo,
+        timeout=600, cwd=repo, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    out_dirs = os.listdir(tmp_path / "out")
-    assert any(
+    assert "model_final" in os.listdir(pinned), os.listdir(tmp_path)
+    assert not (tmp_path / "out").exists() or not any(
         "model_final" in os.listdir(os.path.join(tmp_path / "out", d))
-        for d in out_dirs
+        for d in os.listdir(tmp_path / "out")
     )
