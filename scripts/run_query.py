@@ -33,7 +33,9 @@ def main():
 
     logging.basicConfig(level=logging.WARNING, format="%(asctime)s %(message)s")
     logger = logging.getLogger("ultra_tpu")
-    workdir = os.path.join(
+    # ULTRA_WORKDIR pins the working directory across restarts (same
+    # contract as run.py/pretrain.py; scripts/supervise.py relies on it)
+    workdir = os.environ.get("ULTRA_WORKDIR") or os.path.join(
         os.path.expanduser(cfg.get("output_dir", "./output")),
         time.strftime("%Y-%m-%d-%H-%M-%S"),
     )
