@@ -8,6 +8,8 @@ shape-triggered in compiled XLA code, not in our kernels. Probe the axes:
   noln       layer_norm off (isolate the LN grad)
   ga2        grad_accum=2 (micro-batch 16x129) — the candidate mitigation
   neg64      batch 32x65 (is it the 32 or the 129?)
+  randV:<V>:<bs>  random graph, E=31.4*V edges (member-3 density), given bs
+                  — maps the fault region over (V, batch)
 
   python scripts/exp_member3_shape.py <variant>
 """
@@ -36,17 +38,24 @@ def main(variant: str):
     )
     from ultra_tpu.train.runner import prepare_graph, triples_of
 
-    if variant == "rand":
+    if variant.startswith("randV:"):
+        variant, vv, vbs = variant.split(":")
+        variant = f"randV{vv}b{vbs}"
+    if variant == "rand" or variant.startswith("randV"):
         from ultra_tpu.data.synthetic import random_kg_triples, with_inverses
         from ultra_tpu.graph import make_graph
         from ultra_tpu.ops.rspmm_pallas import attach_plans
         from ultra_tpu.tasks import build_relation_graph_arrays
 
-        V, R_D, E_D = 4326, 18, 136010
+        if variant.startswith("randV"):
+            V = int(vv)
+            R_D, E_D = 18, int(V * 136010 / 4326) // 2 * 2
+        else:
+            V, R_D, E_D = 4326, 18, 136010
         trip = random_kg_triples(V, R_D, E_D, seed=7)
         ei, et = with_inverses(trip, R_D)
         e = ei.shape[1]
-        e_pad = 272384  # the faulting pad
+        e_pad = 272384 if variant == "rand" else pad_bucket(e, 2048)
         rel_ei, rel_et = build_relation_graph_arrays(ei, et, V, 2 * R_D)
         rel_pad = pad_bucket(rel_ei.shape[1], 1024)
         from ultra_tpu.graph import make_graph as mg
@@ -97,6 +106,8 @@ def main(variant: str):
         )
     params = init_ultra_params(cfg, jax.random.key(0))
     bs, neg = (16, 64) if variant == "nobatch" else (32, 64) if variant == "neg64" else (32, 128)
+    if variant.startswith("randV"):
+        bs = int(vbs)
     rng = np.random.default_rng(0)
     rows = trips[rng.choice(len(trips), size=bs, replace=False)]
     batch = tasks.negative_sampling(index, rows, num_negative=neg, rng=rng)
