@@ -157,3 +157,25 @@ def test_meta_counts_requests(server):
     status, after = _req(server, "GET", "/v1/meta")
     assert after["requests"] == before["requests"] + 1
     assert after["latency_ms"]["p50"] is not None
+
+
+def test_concurrent_requests_no_errors(server):
+    """ThreadingHTTPServer runs handlers in parallel threads — hammer
+    predict + query + meta concurrently; every response must be 200 (the
+    lock serializes device work; meta snapshots stats under the lock)."""
+    import concurrent.futures
+
+    def one(i):
+        kind = i % 3
+        if kind == 0:
+            return _req(server, "POST", "/v1/predict",
+                        {"queries": [{"head": i % 30, "relation": i % 4,
+                                      "k": 5}]})[0]
+        if kind == 1:
+            return _req(server, "POST", "/v1/query",
+                        {"queries": [[i % 30, [i % 8]]], "k": 3})[0]
+        return _req(server, "GET", "/v1/meta")[0]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        statuses = list(ex.map(one, range(24)))
+    assert statuses == [200] * 24, statuses
