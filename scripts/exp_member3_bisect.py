@@ -4,7 +4,7 @@ plans, Pallas vs XLA backend.
 
   python scripts/exp_member3_bisect.py <stage>
 
-stages: relfwd entfwd fullfwd grad grad_v1 grad_noplans
+stages: relfwd fullfwd grad grad_v1 grad_noplans
 Run each in its own process (a fault kills the worker)."""
 
 import os
@@ -42,10 +42,14 @@ def main(stage: str):
     with_plans = None if stage != "grad_noplans" else False
     graph = prepare_graph(t, with_plans, v2_sort_slots=True)
     if stage == "grad_v1":
+        # clear EVERY non-v1 generation (v2rg/w3 may exist if the probe env
+        # vars are set) so the dispatch really routes v1
+        drop = dict(v2=None, v2src=None, v2rg=None, v2rgsrc=None,
+                    w3=None, w3src=None)
         graph = graph.replace(
-            plans=graph.plans.replace(v2=None, v2src=None),
+            plans=graph.plans.replace(**drop),
             relation_graph=graph.relation_graph.replace(
-                plans=graph.relation_graph.plans.replace(v2=None, v2src=None)
+                plans=graph.relation_graph.plans.replace(**drop)
             ),
         )
     cfg = UltraConfig()
@@ -71,7 +75,7 @@ def main(stage: str):
             graph.relation_graph, r_index,
         )
         print("relfwd ok", float(jnp.sum(out)), flush=True)
-    elif stage == "entfwd" or stage == "fullfwd":
+    elif stage == "fullfwd":
         out = ultra_apply(params, cfg, graph, batch[:, :8, :])
         print(f"{stage} ok", float(jnp.sum(out)), flush=True)
     else:

@@ -43,7 +43,6 @@ def main(variant: str):
         variant = f"randV{vv}b{vbs}"
     if variant == "rand" or variant.startswith("randV"):
         from ultra_tpu.data.synthetic import random_kg_triples, with_inverses
-        from ultra_tpu.graph import make_graph
         from ultra_tpu.ops.rspmm_pallas import attach_plans
         from ultra_tpu.tasks import build_relation_graph_arrays
 

@@ -30,9 +30,7 @@ def main(idx: int):
     from ultra_tpu import tasks
     from ultra_tpu.data import kg
     from ultra_tpu.train.loop import init_train_state, make_optimizer, make_train_step
-    from ultra_tpu.train.runner import (
-        model_config_from_dict, prepare_graph, triples_of,
-    )
+    from ultra_tpu.train.runner import prepare_graph, triples_of
     from ultra_tpu.train.loop import init_ultra_params
     from ultra_tpu.models.nbfnet import UltraConfig
 

@@ -27,29 +27,15 @@ from ultra_tpu.utils import config as config_lib
 
 def main():
     import argparse
-    import ast
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("-c", "--config", required=True)
-    parser.add_argument("-s", "--seed", type=int, default=1024)
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--batch-size", type=int, default=8, dest="batch_size")
-    args, unparsed = parser.parse_known_args()
     # training configs (e.g. inference.yaml) template {{ epochs }}/{{ bpe }}
     # etc. — serving never reads train.*, so template vars are OPTIONAL
     # here (unlike run.py where they become required flags)
-    var_parser = argparse.ArgumentParser()
-    for var in sorted(config_lib.detect_variables(args.config)):
-        var_parser.add_argument(f"--{var}", default=None)
-    vars_ = {}
-    for k, v in vars(var_parser.parse_args(unparsed)).items():
-        if v is None:
-            continue
-        try:
-            vars_[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            vars_[k] = v
+    args, vars_ = config_lib.parse_args(parser, optional_vars=True)
     cfg = config_lib.load_config(args.config, context=vars_)
     logging.basicConfig(level=logging.WARNING, format="%(asctime)s %(message)s")
     log = logging.getLogger("ultra_tpu")

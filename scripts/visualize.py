@@ -13,7 +13,6 @@ relation arguments are vocabulary ids of the dataset's test split.
 """
 
 import argparse
-import ast
 import logging
 import os
 import sys
@@ -23,27 +22,32 @@ sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ultra_tpu.utils import config as config_lib
 
 
+def _pin_cpu():
+    """Path interpretation runs the plan-less segment-op conv (autodiff
+    needs it) — and XLA scatter on this TPU never completes at KG scale
+    (CLAUDE.md). Single-query interpretability belongs on CPU; pin it
+    before backend init and drop the ambient tunneled-TPU plugin."""
+    import jax
+
+    try:
+        import jax._src.xla_bridge as xb
+
+        xb._backend_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # noqa: BLE001 — unknown harness: leave defaults
+        pass
+
+
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("-c", "--config", required=True)
     parser.add_argument("--head", type=int, required=True)
     parser.add_argument("--relation", type=int, required=True)
     parser.add_argument("--tail", type=int, required=True)
     parser.add_argument("--beam", type=int, default=10)
     parser.add_argument("--topk", type=int, default=10)
-    args, unparsed = parser.parse_known_args()
-    var_parser = argparse.ArgumentParser()
-    for var in sorted(config_lib.detect_variables(args.config)):
-        var_parser.add_argument(f"--{var}", default=None)
-    vars_ = {}
-    for k, v in vars(var_parser.parse_args(unparsed)).items():
-        if v is None:
-            continue
-        try:
-            vars_[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            vars_[k] = v
+    args, vars_ = config_lib.parse_args(parser, optional_vars=True)
     cfg = config_lib.load_config(args.config, context=vars_)
+    _pin_cpu()
     logging.basicConfig(level=logging.WARNING, format="%(asctime)s %(message)s")
 
     from ultra_tpu.data import kg

@@ -134,3 +134,13 @@ exec(open({os.path.join(repo, "scripts", "pretrain.py")!r}).read())
         "model_final" in os.listdir(os.path.join(tmp_path / "out", d))
         for d in os.listdir(tmp_path / "out")
     )
+    # epoch-level crash checkpoint written (supervisor resume contract) ...
+    assert "model_latest" in os.listdir(pinned)
+    # ... and ULTRA_RESUME_FROM restores it on relaunch
+    env["ULTRA_RESUME_FROM"] = os.path.join(pinned, "model_latest")
+    proc2 = subprocess.run(
+        [sys.executable, str(driver)], capture_output=True, text=True,
+        timeout=600, cwd=repo, env=env,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "resumed pretrain state from" in proc2.stderr + proc2.stdout

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import time
 from typing import Optional, Sequence
 
@@ -90,6 +91,27 @@ def pretrain(
 
     optimizer = make_optimizer(lr=float(cfg["optimizer"].get("lr", 5e-4)))
     state = init_train_state(params, optimizer)
+    # supervisor resume contract (same as train/runner.py): the loop saves
+    # workdir/model_latest each epoch; scripts/supervise.py relaunches with
+    # ULTRA_RESUME_FROM pointing at it after a crash/outage
+    resume_from = cfg.get("resume_from")
+    if not resume_from:
+        env_resume = os.environ.get("ULTRA_RESUME_FROM")
+        if env_resume and os.path.exists(env_resume):
+            resume_from = env_resume
+    if resume_from:
+        from ultra_tpu.train.loop import TrainState
+
+        tree = ckpt_lib.load_pytree(
+            resume_from,
+            like={"params": state.params, "opt_state": state.opt_state},
+        )
+        state = TrainState(
+            jax.tree.map(jnp.asarray, tree["params"]),
+            jax.tree.map(jnp.asarray, tree["opt_state"]),
+            state.step,
+        )
+        logger.warning("resumed pretrain state from %s", resume_from)
     step_fn = make_train_step(
         ultra_cfg, optimizer, adversarial_temperature=adv_temp,
         num_negative=num_negative,
@@ -118,61 +140,87 @@ def pretrain(
             mrrs.append(m["mrr"])
         return float(np.mean(mrrs))
 
+    def _crash_diagnostic(recent, exc):
+        """Turn a TPU-worker crash into an actionable error. Dispatch is
+        async, so the UNAVAILABLE may surface one or more steps after the
+        faulting program was enqueued — name every recently dispatched
+        member shape, not just the last one. Known instance: the XLA
+        layer-norm backward faults at specific (V, batch) tile shapes
+        (evidence/r5/member3_fault.md); train.grad_accum changes the
+        micro-batch shape and sidesteps it with full-batch numerics."""
+        seen, shapes = set(), []
+        for gi in reversed(recent):
+            if gi in seen:
+                continue
+            seen.add(gi)
+            d, g = graphs.datasets[gi], graphs.train_graphs[gi]
+            shapes.append(
+                f"member {gi} ({d.name}: V={g.num_nodes} R={g.num_relations}"
+                f" e_pad={g.num_edges_padded})"
+            )
+        return RuntimeError(
+            f"TPU worker crashed executing a train step; recently "
+            f"dispatched (most recent first, async dispatch may lag): "
+            f"{'; '.join(shapes)}; batch_size={batch_size}. This is a "
+            f"backend codegen fault at one of these shapes, not a data "
+            f"error — set train.grad_accum: 2 (micro-batches change the "
+            f"faulting shape; numerics stay identical) or change "
+            f"batch_size. Resume repeats the epoch from the last "
+            f"model_latest/epoch checkpoint. See "
+            f"evidence/r5/member3_fault.md."
+        )
+
+    def _is_worker_crash(exc) -> bool:
+        # "UNAVAILABLE" alone also covers ordinary tunnel outages (round-3:
+        # hours-long, supervisor-handled) — only the worker-crash flavor is
+        # the codegen fault the diagnostic talks about
+        return "worker process crashed" in str(exc).lower()
+
     epoch = 0
+    recent: list = []  # member indices of recently dispatched steps
     for block_start in range(0, num_epoch, epoch_block):
         for epoch in range(block_start, min(num_epoch, block_start + epoch_block)):
             t0 = time.time()
             losses = []
-            for step in range(batch_per_epoch):
-                gi = int(rng.choice(len(graphs.datasets), p=graphs.graph_probs))
-                trips = graphs.train_triples[gi]
-                take = rng.choice(len(trips), size=min(batch_size, len(trips)), replace=False)
-                if len(take) < batch_size:
-                    take = np.concatenate(
-                        [take, rng.choice(len(trips), size=batch_size - len(take))]
+            try:
+                for step in range(batch_per_epoch):
+                    gi = int(rng.choice(len(graphs.datasets), p=graphs.graph_probs))
+                    trips = graphs.train_triples[gi]
+                    take = rng.choice(len(trips), size=min(batch_size, len(trips)), replace=False)
+                    if len(take) < batch_size:
+                        take = np.concatenate(
+                            [take, rng.choice(len(trips), size=batch_size - len(take))]
+                        )
+                    batch = tasks.negative_sampling(
+                        graphs.train_indexes[gi], trips[take], num_negative, strict=strict, rng=rng
                     )
-                batch = tasks.negative_sampling(
-                    graphs.train_indexes[gi], trips[take], num_negative, strict=strict, rng=rng
-                )
-                ew = tasks.easy_edge_weights(
-                    graphs.train_indexes[gi],
-                    batch,
-                    graphs.train_graphs[gi].num_edges_padded,
-                    remove_one_hop=ultra_cfg.entity_model.remove_one_hop,
-                )
-                try:
+                    ew = tasks.easy_edge_weights(
+                        graphs.train_indexes[gi],
+                        batch,
+                        graphs.train_graphs[gi].num_edges_padded,
+                        remove_one_hop=ultra_cfg.entity_model.remove_one_hop,
+                    )
+                    recent = (recent + [gi])[-8:]
                     state, loss = step_fn(
                         state, graphs.train_graphs[gi], jnp.asarray(batch), jnp.asarray(ew)
                     )
-                except jax.errors.JaxRuntimeError as exc:
-                    if "UNAVAILABLE" not in str(exc):
-                        raise
-                    # a TPU-worker crash ("kernel fault") poisons the whole
-                    # client process — turn the bare backend traceback into
-                    # an actionable diagnostic. Known instance: the XLA
-                    # layer-norm backward faults at specific (V, batch)
-                    # tile shapes (evidence/r5/member3_fault.md);
-                    # train.grad_accum changes the micro-batch shape and
-                    # sidesteps it with full-batch numerics.
-                    d = graphs.datasets[gi]
-                    g = graphs.train_graphs[gi]
-                    raise RuntimeError(
-                        f"TPU worker crashed executing the train step on "
-                        f"mixture member {gi} ({d.name}: V={g.num_nodes} "
-                        f"R={g.num_relations} e_pad={g.num_edges_padded}, "
-                        f"batch_size={batch_size}). This is a backend "
-                        f"codegen fault at this shape, not a data error — "
-                        f"set train.grad_accum: 2 (micro-batches change "
-                        f"the faulting shape; numerics stay identical) or "
-                        f"change batch_size, then resume from the crash "
-                        f"checkpoint. See evidence/r5/member3_fault.md."
-                    ) from exc
-                losses.append(loss)
-                if step % log_interval == 0:
-                    logger.warning("epoch %d step %d loss %.6f", epoch, step, float(loss))
-            logger.warning(
-                "epoch %d: avg bce %.6f (%.1fs)", epoch,
-                float(np.mean([float(l) for l in losses])), time.time() - t0,
+                    losses.append(loss)
+                    if step % log_interval == 0:
+                        logger.warning("epoch %d step %d loss %.6f", epoch, step, float(loss))
+                # the float() forces every step of the epoch to completion
+                # INSIDE the try — async dispatch cannot carry a crash past
+                # this point
+                logger.warning(
+                    "epoch %d: avg bce %.6f (%.1fs)", epoch,
+                    float(np.mean([float(l) for l in losses])), time.time() - t0,
+                )
+            except jax.errors.JaxRuntimeError as exc:
+                if not _is_worker_crash(exc):
+                    raise
+                raise _crash_diagnostic(recent, exc) from exc
+            ckpt_lib.save_pytree(
+                os.path.join(workdir, "model_latest"),
+                {"params": state.params, "opt_state": state.opt_state},
             )
         mrr = validate()
         logger.warning("avg valid mrr after epoch %d: %.4f", epoch, mrr)

@@ -57,9 +57,14 @@ def load_config(cfg_file: str, context: dict | None = None) -> AttrDict:
     return AttrDict.wrap(cfg)
 
 
-def parse_args(parser: argparse.ArgumentParser | None = None) -> Tuple[argparse.Namespace, dict]:
+def parse_args(
+    parser: argparse.ArgumentParser | None = None,
+    optional_vars: bool = False,
+) -> Tuple[argparse.Namespace, dict]:
     """-c/--config, -s/--seed plus auto flags for template vars
-    (util.py:44-65)."""
+    (util.py:44-65). ``optional_vars``: template vars become optional flags
+    (unset ones render empty -> YAML null) — for CLIs like serve.py /
+    visualize.py that reuse training configs but never read train.*."""
     parser = parser or argparse.ArgumentParser()
     parser.add_argument("-c", "--config", required=True, help="yaml config file")
     parser.add_argument("-s", "--seed", type=int, default=1024, help="random seed")
@@ -68,10 +73,15 @@ def parse_args(parser: argparse.ArgumentParser | None = None) -> Tuple[argparse.
     vars_ = detect_variables(args.config)
     var_parser = argparse.ArgumentParser()
     for var in sorted(vars_):
-        var_parser.add_argument(f"--{var}", required=True)
+        var_parser.add_argument(
+            f"--{var}", required=not optional_vars,
+            **({"default": None} if optional_vars else {}),
+        )
     vars_ns = var_parser.parse_args(unparsed)
     vars_dict = {}
     for k, v in vars(vars_ns).items():
+        if v is None:
+            continue
         try:
             vars_dict[k] = ast.literal_eval(v)
         except (ValueError, SyntaxError):
