@@ -126,6 +126,15 @@ def test_train_steps_and_eval(tmp_path):
     for leaf in jax.tree.leaves(out):
         assert np.isfinite(np.asarray(leaf)).all()
 
+    # epoch-level crash checkpoint (supervisor resume contract) + resume
+    import os
+
+    assert os.path.isdir(os.path.join(str(tmp_path), "model_latest"))
+    run_cfg2 = dict(run_cfg, resume_from=os.path.join(str(tmp_path), "model_latest"))
+    out2 = train_queries(run_cfg2, cfg, qcfg, params, ds, str(tmp_path), seed=0)
+    for leaf in jax.tree.leaves(out2):
+        assert np.isfinite(np.asarray(leaf)).all()
+
     graph = prepare_query_graph(ds.graphs[2])
     (_, _), (_, _), (lo, hi) = ds.split_ranges()
     m = evaluate_queries(

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import time
 from typing import Dict, Optional, Sequence
 
@@ -649,6 +650,27 @@ def train_queries(
 
     optimizer = make_optimizer(lr=float(cfg["optimizer"].get("lr", 5e-4)))
     state = init_train_state(params, optimizer)
+    # supervisor resume contract (same as train/runner.py and
+    # train/pretrain.py): model_latest saved each epoch; supervise.py
+    # relaunches with ULTRA_RESUME_FROM after a crash/outage
+    resume_from = cfg.get("resume_from")
+    if not resume_from:
+        env_resume = os.environ.get("ULTRA_RESUME_FROM")
+        if env_resume and os.path.exists(env_resume):
+            resume_from = env_resume
+    if resume_from:
+        from ultra_tpu.train.loop import TrainState
+
+        tree = ckpt_lib.load_pytree(
+            resume_from,
+            like={"params": state.params, "opt_state": state.opt_state},
+        )
+        state = TrainState(
+            jax.tree.map(jnp.asarray, tree["params"]),
+            jax.tree.map(jnp.asarray, tree["opt_state"]),
+            state.step,
+        )
+        logger.warning("resumed query train state from %s", resume_from)
     # reference-DDP compat: per data shard traversal dropout (rank-coupled
     # rngs, run.py:234) instead of the default replicated per-batch masks
     per_rank = bool(task_cfg.get("per_rank_traversal_dropout", False))
@@ -762,6 +784,10 @@ def train_queries(
             logger.warning(
                 "epoch %d: avg bce %.6f (%.1fs)", epoch,
                 float(np.mean([float(l) for l in losses])), time.time() - t0,
+            )
+            ckpt_lib.save_pytree(
+                os.path.join(workdir, "model_latest"),
+                {"params": state.params, "opt_state": state.opt_state},
             )
 
         idx = valid_idx
