@@ -131,6 +131,33 @@ def build(kind):
     return graph, stats
 
 
+def attach_fb_relgraph(graph, ei, et):
+    """Attach the relation graph (with its own Pallas plans) to an
+    FB-shaped graph — the shared rig of bench's e2e diagnostics and the
+    serving/CLQA experiment scripts (exp_serve_http, exp_clqa_eval_budget),
+    so the measured configuration cannot silently diverge between them."""
+    from ultra_tpu import tasks
+    from ultra_tpu.graph import make_graph, pad_bucket
+    from ultra_tpu.ops.rspmm_pallas import attach_plans
+
+    rel_ei, rel_et = tasks.build_relation_graph_arrays(ei, et, V, 2 * R_DIRECT)
+    rel_e_pad = pad_bucket(rel_ei.shape[1], 1024)
+    rel_graph = make_graph(
+        rel_ei, rel_et, num_nodes=2 * R_DIRECT, num_relations=4,
+        pad_to=rel_e_pad,
+    )
+    rel_graph = attach_plans(
+        rel_graph, rb=128, chunk=128,
+        host_edges=(
+            np.pad(rel_ei, ((0, 0), (0, rel_e_pad - rel_ei.shape[1]))),
+            np.pad(rel_et, (0, rel_e_pad - rel_et.shape[0])),
+            np.pad(np.ones(rel_et.shape[0], np.float32),
+                   (0, rel_e_pad - rel_et.shape[0])),
+        ),
+    )
+    return graph.replace(relation_graph=rel_graph)
+
+
 def _clqa_mixed_batch(rng, v, r, length=10):
     """One query per BetaE structure (14 total), padded postfix programs —
     the mixed-batch shape of scripts/exp_grouped_exec.py."""
@@ -316,8 +343,6 @@ def main():
         if os.path.exists(ckpt):
             from ultra_tpu import tasks
             from ultra_tpu.data.synthetic import random_kg_triples, with_inverses
-            from ultra_tpu.graph import make_graph, pad_bucket
-            from ultra_tpu.ops.rspmm_pallas import attach_plans
 
             # prune to v2-only plans: graph.plans may carry probe-gated
             # generations (w3/v2rg) that do not compile on this backend
@@ -326,24 +351,7 @@ def main():
             trip = random_kg_triples(V, R_DIRECT, E_DIRECT, seed=0,
                                      rel_dist="zipf", categories=30)
             ei, et = with_inverses(trip, R_DIRECT)
-            rel_ei, rel_et = tasks.build_relation_graph_arrays(
-                ei, et, V, 2 * R_DIRECT
-            )
-            rel_e_pad = pad_bucket(rel_ei.shape[1], 1024)
-            rel_graph = make_graph(
-                rel_ei, rel_et, num_nodes=2 * R_DIRECT, num_relations=4,
-                pad_to=rel_e_pad,
-            )
-            rel_graph = attach_plans(
-                rel_graph, rb=128, chunk=128,
-                host_edges=(
-                    np.pad(rel_ei, ((0, 0), (0, rel_e_pad - rel_ei.shape[1]))),
-                    np.pad(rel_et, (0, rel_e_pad - rel_et.shape[0])),
-                    np.pad(np.ones(rel_et.shape[0], np.float32),
-                           (0, rel_e_pad - rel_et.shape[0])),
-                ),
-            )
-            graph = graph.replace(relation_graph=rel_graph)
+            graph = attach_fb_relgraph(graph, ei, et)
             params = to_jax(convert_ultra_checkpoint(ckpt))
             cfg = UltraConfig()
             h = jnp.asarray(np.arange(B))

@@ -38,8 +38,11 @@ def main(variant: str):
     )
     from ultra_tpu.train.runner import prepare_graph, triples_of
 
-    if variant.startswith("randV:"):
-        variant, vv, vbs = variant.split(":")
+    if variant.startswith("randV"):
+        parts = variant.split(":")
+        if len(parts) != 3:
+            raise SystemExit("usage: exp_member3_shape.py randV:<V>:<bs>")
+        _, vv, vbs = parts
         variant = f"randV{vv}b{vbs}"
     if variant == "rand" or variant.startswith("randV"):
         from ultra_tpu.data.synthetic import random_kg_triples, with_inverses

@@ -20,11 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import bench as benchmod
-from ultra_tpu import tasks
 from ultra_tpu.data.synthetic import random_kg_triples, with_inverses
-from ultra_tpu.graph import make_graph, pad_bucket
 from ultra_tpu.models.nbfnet import UltraConfig
-from ultra_tpu.ops.rspmm_pallas import attach_plans
 from ultra_tpu.serve import UltraPredictor
 from ultra_tpu.server import PredictionService, make_http_server
 from ultra_tpu.utils.torch_ckpt import convert_ultra_checkpoint, to_jax
@@ -50,20 +47,7 @@ def main():
     trip = random_kg_triples(V, R_DIRECT, E_DIRECT, seed=0, rel_dist="zipf",
                              categories=30)
     ei, et = with_inverses(trip, R_DIRECT)
-    rel_ei, rel_et = tasks.build_relation_graph_arrays(ei, et, V, 2 * R_DIRECT)
-    rel_e_pad = pad_bucket(rel_ei.shape[1], 1024)
-    rel_graph = make_graph(rel_ei, rel_et, num_nodes=2 * R_DIRECT,
-                           num_relations=4, pad_to=rel_e_pad)
-    rel_graph = attach_plans(
-        rel_graph, rb=128, chunk=128,
-        host_edges=(
-            np.pad(rel_ei, ((0, 0), (0, rel_e_pad - rel_ei.shape[1]))),
-            np.pad(rel_et, (0, rel_e_pad - rel_et.shape[0])),
-            np.pad(np.ones(rel_et.shape[0], np.float32),
-                   (0, rel_e_pad - rel_et.shape[0])),
-        ),
-    )
-    graph = graph.replace(relation_graph=rel_graph)
+    graph = benchmod.attach_fb_relgraph(graph, ei, et)
     params = to_jax(convert_ultra_checkpoint("/root/reference/ckpts/ultra_3g.pth"))
     predictor = UltraPredictor(params, UltraConfig(), graph, batch_size=8)
     service = PredictionService(predictor)

@@ -179,3 +179,25 @@ def test_concurrent_requests_no_errors(server):
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         statuses = list(ex.map(one, range(24)))
     assert statuses == [200] * 24, statuses
+
+
+def test_validation_edge_cases(server, service):
+    # non-object JSON body -> 400, not AttributeError/500
+    status, out = _req(server, "POST", "/v1/predict", [1, 2])
+    assert status == 400 and "JSON object" in out["error"]
+    status, out = _req(server, "POST", "/v1/query", [1, 2])
+    assert status == 400
+    # int32-wrapping / opcode-aliasing ids must 400, not answer for the
+    # wrapped id (2**32 + 5 wraps to 5 in decompose's int32 extraction)
+    status, out = _req(server, "POST", "/v1/query",
+                       {"queries": [[2**32 + 5, [1]]]})
+    assert status == 400 and "2**31" in out["error"]
+    status, out = _req(server, "POST", "/v1/query",
+                       {"queries": [[0, [2**58 + 1]]]})
+    assert status == 400
+    # k larger than every bucket on a small graph: bucket clamps to V and
+    # the request succeeds (V=30 here; bucket 100 would crash lax.top_k)
+    status, out = _req(server, "POST", "/v1/predict",
+                       {"queries": [{"head": 0, "relation": 1, "k": 11}]})
+    assert status == 200, out
+    assert len(out["results"][0]["entities"]) == 11

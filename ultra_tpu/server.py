@@ -81,9 +81,17 @@ class PredictionService:
 
     def _bucket_k(self, k: int) -> int:
         # client-controlled k is a STATIC jit arg — bucket it so a client
-        # cycling k values cannot grow the executable cache unboundedly
+        # cycling k values cannot grow the executable cache unboundedly.
+        # Clamp the bucket to V: lax.top_k(k > size) raises (a V=30 graph
+        # must not 500 on k=11 because bucket 100 > 30)
         v = self.predictor.graph.num_nodes
-        return next((b for b in self._k_buckets if b >= k), v)
+        return min(next((b for b in self._k_buckets if b >= k), v), v)
+
+    @staticmethod
+    def _payload_dict(payload) -> dict:
+        if not isinstance(payload, dict):
+            raise BadRequest("body must be a JSON object")
+        return payload
 
     def _record(self, dt_ms: float) -> None:
         with self._lock:
@@ -93,7 +101,7 @@ class PredictionService:
     # -- link prediction ---------------------------------------------------
 
     def predict(self, payload: dict) -> dict:
-        queries = payload.get("queries")
+        queries = self._payload_dict(payload).get("queries")
         if not isinstance(queries, list) or not queries:
             raise BadRequest("body must be {'queries': [..]} (non-empty)")
         if len(queries) > self.max_batch:
@@ -165,10 +173,21 @@ class PredictionService:
                 self._qfwd = (fwd, rel_reprs)
             return self._qfwd
 
+    @staticmethod
+    def _raw_ids_ok(nested) -> bool:
+        """Every int in the nested query must sit in [-2, 2**31): negative
+        ids (except the -2 negation marker) corrupt the opcode bits
+        (query/ops.py:18-24), ids >= 2**31 wrap in decompose's int32
+        operand extraction, and ids >= 2**58 alias opcode bits — all three
+        would dodge the post-decode range checks below."""
+        if isinstance(nested, tuple):
+            return all(PredictionService._raw_ids_ok(x) for x in nested)
+        return isinstance(nested, int) and -2 <= nested < 2**31
+
     def query(self, payload: dict) -> dict:
         from ultra_tpu.query import ops as qops
 
-        queries = payload.get("queries")
+        queries = self._payload_dict(payload).get("queries")
         if not isinstance(queries, list) or not queries:
             raise BadRequest("body must be {'queries': [..]} (non-empty)")
         if len(queries) > self.max_batch:
@@ -180,14 +199,18 @@ class PredictionService:
         for i, q in enumerate(queries):
             if not isinstance(q, list):
                 raise BadRequest(f"query {i}: must be a BetaE nested list")
+            nested = _as_tuples(q)
+            if not self._raw_ids_ok(nested):
+                raise BadRequest(
+                    f"query {i}: ids must be ints in [0, 2**31) "
+                    "(-2 = negation marker inside a unary-op list)"
+                )
             try:
-                prog = qops.from_nested(_as_tuples(q))
+                prog = qops.from_nested(nested)
             except Exception as exc:  # noqa: BLE001
                 raise BadRequest(f"query {i}: not a BetaE nested query ({exc})")
             # validate decoded operands — an out-of-range id would be
-            # silently clamped by the device gather, a negative one would
-            # corrupt the opcode bits (query/ops.py:18-24: OR with a
-            # negative int sets ALL high bits, decoding as a different op)
+            # silently clamped by the device gather
             if (prog < 0).any():
                 raise BadRequest(
                     f"query {i}: negative ids are invalid (-2 is only "

@@ -153,7 +153,7 @@ def export_ultra_checkpoint(params: dict, path: str, nest_levels: int = 0) -> No
     _export_nbfnet(params["entity_model"], "entity_model", sd)
     prefix = "model." * nest_levels
     tensors = {
-        prefix + k: torch.from_numpy(np.ascontiguousarray(v.astype(v.dtype)))
+        prefix + k: torch.from_numpy(np.ascontiguousarray(v))
         for k, v in sd.items()
     }
     torch.save({"model": tensors}, path)
