@@ -144,3 +144,35 @@ exec(open({os.path.join(repo, "scripts", "pretrain.py")!r}).read())
     )
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     assert "resumed pretrain state from" in proc2.stderr + proc2.stdout
+
+
+def test_crash_diagnostic_names_recent_members():
+    """The worker-crash handler must (a) fire only on the worker-crash
+    flavor of UNAVAILABLE and (b) name every recently dispatched member
+    shape most-recent first (async dispatch can surface the crash steps
+    after the faulting program was enqueued)."""
+    from types import SimpleNamespace
+
+    from ultra_tpu.train.pretrain import crash_diagnostic, is_worker_crash
+
+    assert is_worker_crash(
+        Exception("UNAVAILABLE: TPU worker process crashed or restarted.")
+    )
+    assert not is_worker_crash(
+        Exception("UNAVAILABLE: failed to connect to coordination service")
+    )
+
+    graphs = SimpleNamespace(
+        datasets=[SimpleNamespace(name=f"g{i}") for i in range(3)],
+        train_graphs=[
+            SimpleNamespace(num_nodes=100 + i, num_relations=4,
+                            num_edges_padded=1024 * (i + 1))
+            for i in range(3)
+        ],
+    )
+    err = crash_diagnostic(graphs, recent=[0, 1, 0, 2], batch_size=32)
+    msg = str(err)
+    # most recent first, deduped
+    assert msg.index("member 2") < msg.index("member 0") < msg.index("member 1")
+    assert "V=102" in msg and "e_pad=3072" in msg
+    assert "grad_accum" in msg and "batch_size=32" in msg

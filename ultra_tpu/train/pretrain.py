@@ -71,6 +71,45 @@ class PretrainGraphs:
         self.graph_probs = counts / counts.sum()  # ∝ edge count, pretrain.py:26-37
 
 
+def is_worker_crash(exc) -> bool:
+    """True for the TPU-worker 'kernel fault' crash flavor of UNAVAILABLE.
+    Bare UNAVAILABLE also covers ordinary tunnel outages (round-3:
+    hours-long, supervisor-handled) — only the worker-crash flavor is the
+    shape-specific codegen fault crash_diagnostic talks about."""
+    return "worker process crashed" in str(exc).lower()
+
+
+def crash_diagnostic(graphs: "PretrainGraphs", recent, batch_size: int):
+    """Turn a TPU-worker crash into an actionable error. Dispatch is
+    async, so the UNAVAILABLE may surface one or more steps after the
+    faulting program was enqueued — name every recently dispatched member
+    shape, not just the last one. Known instance: the XLA layer-norm
+    backward faults at specific (V, batch) tile shapes
+    (evidence/r5/member3_fault.md); train.grad_accum changes the
+    micro-batch shape and sidesteps it with full-batch numerics."""
+    seen, shapes = set(), []
+    for gi in reversed(recent):
+        if gi in seen:
+            continue
+        seen.add(gi)
+        d, g = graphs.datasets[gi], graphs.train_graphs[gi]
+        shapes.append(
+            f"member {gi} ({d.name}: V={g.num_nodes} R={g.num_relations}"
+            f" e_pad={g.num_edges_padded})"
+        )
+    return RuntimeError(
+        f"TPU worker crashed executing a train step; recently "
+        f"dispatched (most recent first, async dispatch may lag): "
+        f"{'; '.join(shapes)}; batch_size={batch_size}. This is a "
+        f"backend codegen fault at one of these shapes, not a data "
+        f"error — set train.grad_accum: 2 (micro-batches change the "
+        f"faulting shape; numerics stay identical) or change "
+        f"batch_size. Resume repeats the epoch from the last "
+        f"model_latest/epoch checkpoint. See "
+        f"evidence/r5/member3_fault.md."
+    )
+
+
 def pretrain(
     cfg: dict,
     ultra_cfg: UltraConfig,
@@ -140,42 +179,6 @@ def pretrain(
             mrrs.append(m["mrr"])
         return float(np.mean(mrrs))
 
-    def _crash_diagnostic(recent, exc):
-        """Turn a TPU-worker crash into an actionable error. Dispatch is
-        async, so the UNAVAILABLE may surface one or more steps after the
-        faulting program was enqueued — name every recently dispatched
-        member shape, not just the last one. Known instance: the XLA
-        layer-norm backward faults at specific (V, batch) tile shapes
-        (evidence/r5/member3_fault.md); train.grad_accum changes the
-        micro-batch shape and sidesteps it with full-batch numerics."""
-        seen, shapes = set(), []
-        for gi in reversed(recent):
-            if gi in seen:
-                continue
-            seen.add(gi)
-            d, g = graphs.datasets[gi], graphs.train_graphs[gi]
-            shapes.append(
-                f"member {gi} ({d.name}: V={g.num_nodes} R={g.num_relations}"
-                f" e_pad={g.num_edges_padded})"
-            )
-        return RuntimeError(
-            f"TPU worker crashed executing a train step; recently "
-            f"dispatched (most recent first, async dispatch may lag): "
-            f"{'; '.join(shapes)}; batch_size={batch_size}. This is a "
-            f"backend codegen fault at one of these shapes, not a data "
-            f"error — set train.grad_accum: 2 (micro-batches change the "
-            f"faulting shape; numerics stay identical) or change "
-            f"batch_size. Resume repeats the epoch from the last "
-            f"model_latest/epoch checkpoint. See "
-            f"evidence/r5/member3_fault.md."
-        )
-
-    def _is_worker_crash(exc) -> bool:
-        # "UNAVAILABLE" alone also covers ordinary tunnel outages (round-3:
-        # hours-long, supervisor-handled) — only the worker-crash flavor is
-        # the codegen fault the diagnostic talks about
-        return "worker process crashed" in str(exc).lower()
-
     epoch = 0
     recent: list = []  # member indices of recently dispatched steps
     for block_start in range(0, num_epoch, epoch_block):
@@ -215,9 +218,9 @@ def pretrain(
                     float(np.mean([float(l) for l in losses])), time.time() - t0,
                 )
             except jax.errors.JaxRuntimeError as exc:
-                if not _is_worker_crash(exc):
+                if not is_worker_crash(exc):
                     raise
-                raise _crash_diagnostic(recent, exc) from exc
+                raise crash_diagnostic(graphs, recent, batch_size) from exc
             ckpt_lib.save_pytree(
                 os.path.join(workdir, "model_latest"),
                 {"params": state.params, "opt_state": state.opt_state},
